@@ -1,0 +1,69 @@
+"""Bilinear image sampling with grid_sample parity.
+
+Matches torch.nn.functional.grid_sample(mode='bilinear',
+padding_mode='zeros', align_corners=True) as used by the reference's
+plane-sweep warp (/root/reference/models/module.py:212-215), but operates in
+pixel coordinates directly (the reference normalizes to [-1,1] and
+grid_sample un-normalizes with align_corners=True; the two steps cancel).
+
+Zero padding is corner-wise: each of the four bilinear corners contributes 0
+when it falls outside the image, so samples straddling the border are
+partially attenuated — bit-matching torch (verified in
+tests/test_geometry.py against torch CPU).
+
+TPU design: the sample is a row-gather from the feature map flattened to
+[Hs*Ws, C]. The four corner gathers share one gather of the even/odd... —
+kept as four jnp.take calls; XLA fuses the lerp arithmetic into the gather
+consumers. A fused Pallas warp+correlation kernel lives in
+diffmvs_tpu/ops/pallas/.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_one(src, x, y):
+    """src: [Hs, Ws, C]; x, y: [N] pixel coords. Returns [N, C]."""
+    hs, ws, c = src.shape
+    src_flat = src.reshape(hs * ws, c)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(xi, yi):
+        valid = ((xi >= 0) & (xi < ws) & (yi >= 0) & (yi < hs))
+        xc = jnp.clip(xi, 0, ws - 1)
+        yc = jnp.clip(yi, 0, hs - 1)
+        vals = jnp.take(src_flat, yc * ws + xc, axis=0)
+        return vals * valid[:, None].astype(src.dtype)
+
+    v00 = corner(x0i, y0i)
+    v01 = corner(x0i + 1, y0i)
+    v10 = corner(x0i, y0i + 1)
+    v11 = corner(x0i + 1, y0i + 1)
+
+    top = v00 + (v01 - v00) * wx.astype(src.dtype)
+    bot = v10 + (v11 - v10) * wx.astype(src.dtype)
+    return top + (bot - top) * wy.astype(src.dtype)
+
+
+def bilinear_sample(src, x, y):
+    """Batched bilinear sampling.
+
+    src: [B, Hs, Ws, C] feature maps.
+    x, y: [B, ...] pixel coordinates (align_corners=True convention:
+          integer coords hit pixel centers; (0,0) is the first pixel).
+    Returns [B, ..., C]; out-of-bounds corners contribute zeros.
+    """
+    batch_shape = x.shape
+    xf = x.reshape(x.shape[0], -1)
+    yf = y.reshape(y.shape[0], -1)
+    out = jax.vmap(_bilinear_one)(src, xf, yf)
+    return out.reshape(*batch_shape, src.shape[-1])

@@ -1,0 +1,71 @@
+"""Differentiable plane-sweep warping (the MVS hot path).
+
+Parity target: /root/reference/models/module.py:181-218
+(`differentiable_warping`): project the reference pixel grid at D depth
+hypotheses into a source view and bilinearly sample its features.
+
+Design notes (TPU):
+  * The relative projection is built analytically from the (extrinsic,
+    intrinsic) pairs (geometry/transforms.py:relative_projection) instead of
+    LU-inverting the composed K·[R|t] like the reference — float32-stable.
+  * Projection math is wrapped in stop_gradient exactly like the reference's
+    no_grad block — gradients flow to the *source features* through the
+    bilinear sample, never to the depth hypotheses through the coordinates.
+  * Coordinates are produced in pixel units; see geometry/sampling.py for
+    why that equals grid_sample(align_corners=True).
+  * The warp itself is a row-gather; the correlation consumer is fused in
+    ops/correlation.py (XLA) / ops/pallas/warp_corr.py (Pallas).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffmvs_tpu.geometry.sampling import bilinear_sample
+from diffmvs_tpu.geometry.transforms import relative_projection
+
+
+def plane_sweep_coords(rot, trans, depth_values):
+    """Source-view pixel coordinates for each ref pixel x depth hypothesis.
+
+    rot: [B, 3, 3], trans: [B, 3] — relative projection src <- ref.
+    depth_values: [B, D, H, W] metric depths of the hypotheses.
+    Returns (x, y): each [B, D, H, W] float32, gradients stopped.
+    """
+    b, d, h, w = depth_values.shape
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    grid = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(h * w, jnp.float32)])
+
+    rot_xyz = jnp.matmul(rot, grid,
+                         precision=jax.lax.Precision.HIGHEST)  # [B, 3, H*W]
+    depth_flat = depth_values.reshape(b, 1, d, h * w)
+    proj_xyz = (rot_xyz[:, :, None, :] * depth_flat
+                + trans[:, :, None, None])                 # [B, 3, D, H*W]
+
+    z = proj_xyz[:, 2]
+    z = jnp.where(z == 0.0, 1e-8, z)                       # module.py:206
+    x = proj_xyz[:, 0] / z
+    y = proj_xyz[:, 1] / z
+
+    x = jax.lax.stop_gradient(x).reshape(b, d, h, w)
+    y = jax.lax.stop_gradient(y).reshape(b, d, h, w)
+    return x, y
+
+
+def plane_sweep_warp(src_fea, src_pair, ref_pair, depth_values):
+    """Warp source features onto the reference plane-sweep volume.
+
+    src_fea: [B, Hs, Ws, C] source-view features (NHWC).
+    src_pair, ref_pair: [B, 2, 4, 4] (extrinsic, intrinsic) stacks.
+    depth_values: [B, D, H, W] metric depth hypotheses at ref resolution.
+    Returns [B, D, H, W, C].
+    """
+    rot, trans = relative_projection(src_pair, ref_pair)
+    x, y = plane_sweep_coords(rot, trans, depth_values)
+    return bilinear_sample(src_fea, x, y)

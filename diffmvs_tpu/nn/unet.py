@@ -1,0 +1,275 @@
+"""Conditional diffusion UNet with a recurrent (GRU) bottleneck.
+
+Parity target: /root/reference/models/update.py:38-297 (`Unet`, `Block`,
+`ResnetBlock`, `WeightStandardizedConv2d`, `SinusoidalPosEmb`, `Upsample`,
+`Downsample`, `ConditionEncoder`).
+
+Structure per refinement stage s (dim = unet_dim[s], mults = (1,2[,4])):
+  init 7x7 conv -> ResnetBlock+Downsample ladder -> SepConvGRU carrying the
+  hidden state across refinement iterations at 1/8 resolution -> ResnetBlock
+  ladder up with skip concats -> heads: delta (1ch) and sigmoid confidence.
+Time conditioning is FiLM (scale/shift) from a sinusoidal embedding MLP.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffmvs_tpu.nn.layers import (
+    SepConvGRU,
+    torch_bias_init,
+    torch_kernel_init,
+)
+
+Dtype = Any
+
+
+def sinusoidal_pos_emb(t, dim):
+    """t: [B] (float) -> [B, dim]. Parity: update.py:50-62."""
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+    args = t[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class Dense(nn.Module):
+    """Linear layer with torch default init."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.features, kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(int(x.shape[-1])),
+            dtype=self.dtype, name="linear",
+        )(x)
+
+
+class WSConv(nn.Module):
+    """Weight-standardized 3x3 conv — parity: update.py:81-94.
+
+    Kernel is standardized over (kh, kw, in) per output channel with biased
+    variance; eps 1e-5 in float32 (1e-3 in lower precision).
+    """
+
+    features: int
+    kernel_size: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = int(x.shape[-1])
+        kernel = self.param("kernel", torch_kernel_init,
+                            (k, k, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", torch_bias_init(in_ch * k * k),
+                          (self.features,), jnp.float32)
+        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+        w = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), (1, 1),
+            ((k // 2, k // 2), (k // 2, k // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dtype)
+
+
+class Block(nn.Module):
+    """WSConv -> GroupNorm -> (FiLM) -> SiLU — parity: update.py:117-133."""
+
+    features: int
+    groups: int = 8
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = WSConv(self.features, 3, dtype=self.dtype, name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks + residual 1x1 — parity: update.py:135-159."""
+
+    features: int
+    groups: int = 4
+    time_conditioned: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        scale_shift = None
+        if self.time_conditioned and time_emb is not None:
+            t = Dense(self.features * 2, dtype=self.dtype,
+                      name="mlp")(nn.silu(time_emb))
+            t = t[:, None, None, :]
+            scale_shift = jnp.split(t, 2, axis=-1)
+
+        h = Block(self.features, self.groups, dtype=self.dtype,
+                  name="block1")(x, scale_shift)
+        h = Block(self.features, self.groups, dtype=self.dtype,
+                  name="block2")(h)
+
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(int(x.shape[-1])),
+                        dtype=self.dtype, name="res_conv")(x)
+        return h + x
+
+
+class Downsample(nn.Module):
+    """Space-to-depth (2x2) + 1x1 conv — parity: update.py:44-48.
+
+    Channel order matches einops 'b c (h p1) (w p2) -> b (c p1 p2) h w'
+    translated to NHWC: index = c*4 + p1*2 + p2.
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c * 4)
+        return nn.Conv(self.features, (1, 1), kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(c * 4),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 + 3x3 conv — parity: update.py:38-42."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                       kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(int(x.shape[-1]) * 9),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class DiffusionUNet(nn.Module):
+    """The per-stage denoiser — parity: update.py:161-274."""
+
+    dim: int                      # base feature dim (unet_dim[s])
+    hidden_dim: int               # GRU hidden state channels
+    dim_mults: Tuple[int, ...] = (1, 2)
+    resnet_block_groups: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, hidden, time):
+        """x: [B,H,W,Cin]; hidden: [B,H/2^(L-1),W/2^(L-1),hidden_dim];
+        time: [B] int/float timestep. Returns (new_hidden, delta, confidence).
+        """
+        dt = self.dtype
+        dims = [self.dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        g = self.resnet_block_groups
+
+        # time embedding MLP (update.py:204-211)
+        time_dim = self.dim * 4
+        t = sinusoidal_pos_emb(time, self.dim)
+        t = Dense(time_dim, dtype=dt, name="time_mlp_1")(t)
+        t = nn.gelu(t, approximate=False)
+        t = Dense(time_dim, dtype=dt, name="time_mlp_2")(t)
+
+        x = nn.Conv(self.dim, (7, 7), padding=((3, 3), (3, 3)),
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(int(x.shape[-1]) * 49),
+                    dtype=dt, name="init_conv")(x)
+        r = x
+
+        skips = []
+        for ind, (dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= len(in_out) - 1
+            x = ResnetBlock(dim_in, g, dtype=dt,
+                            name=f"down_{ind}_block")(x, t)
+            skips.append(x)
+            if not is_last:
+                x = Downsample(dim_out, dtype=dt, name=f"down_{ind}_ds")(x)
+            else:
+                x = nn.Conv(dim_out, (3, 3), padding=((1, 1), (1, 1)),
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(dim_in * 9),
+                            dtype=dt, name=f"down_{ind}_conv")(x)
+
+        # recurrent bottleneck (update.py:229,258-259)
+        hidden = SepConvGRU(self.hidden_dim, dtype=dt, name="gru")(hidden, x)
+        # mid block is NOT time-conditioned (update.py:230 passes no
+        # time_emb_dim, so its forward ignores t)
+        x = ResnetBlock(dims[-1], g, time_conditioned=False, dtype=dt,
+                        name="mid")(hidden)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = ind == len(in_out) - 1
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock(dim_out, g, dtype=dt,
+                            name=f"up_{ind}_block")(x, t)
+            if not is_last:
+                x = Upsample(dim_in, dtype=dt, name=f"up_{ind}_us")(x)
+            else:
+                x = nn.Conv(dim_in, (3, 3), padding=((1, 1), (1, 1)),
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(dim_out * 9),
+                            dtype=dt, name=f"up_{ind}_conv")(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(self.dim, g, dtype=dt, name="final_res_block")(x, t)
+
+        delta = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(self.dim),
+                        dtype=dt, name="final_conv")(x)
+        conf = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(self.dim),
+                       dtype=dt, name="conf")(x)
+        return hidden, delta[..., 0], nn.sigmoid(conf[..., 0])
+
+
+class ConditionEncoder(nn.Module):
+    """Encode (cost volume, depth samples) -> context feature.
+
+    Parity: update.py:276-297. Output has out_chs-1 learned channels with the
+    raw inverse depth concatenated as the last channel.
+    """
+
+    hidden_dim: int               # context_dim[s]
+    out_chs: int                  # context_dim[s]
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, depth, depth_values, cost_volume):
+        """depth: [B,H,W,1]; depth_values: [B,H,W,CostNum];
+        cost_volume: [B,H,W,G*CostNum]."""
+
+        def c3(name, feats, x):
+            return nn.Conv(feats, (3, 3), padding=((1, 1), (1, 1)),
+                           kernel_init=torch_kernel_init,
+                           bias_init=torch_bias_init(int(x.shape[-1]) * 9),
+                           dtype=self.dtype, name=name)(x)
+
+        c = nn.relu(c3("convc1", self.hidden_dim, cost_volume))
+        c = nn.relu(c3("convc2", self.hidden_dim, c))
+        d = nn.relu(c3("convd1", self.hidden_dim, depth_values))
+        d = nn.relu(c3("convd2", self.hidden_dim, d))
+        feat = jnp.concatenate([c, d], axis=-1)
+        out = nn.relu(c3("output", self.out_chs - 1, feat))
+        return jnp.concatenate([out, depth], axis=-1)

@@ -1,0 +1,37 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set the XLA flags before jax initializes — this file is imported by
+pytest before any test module.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Full-f32 matmuls/convs in tests — the backend default rounds operands to
+# bfloat16 (TPU-style), which breaks parity assertions against torch.
+jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: eager/first-compile on this 1-CPU host is
+# very slow; cache across pytest runs.
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# Force backend init BEFORE any test module imports torch: creating the XLA
+# CPU client after torch (OpenMP) is loaded stalls for minutes on small hosts.
+jax.devices()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
