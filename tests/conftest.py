@@ -6,6 +6,12 @@ pytest before any test module.
 
 import os
 
+# torch (libgomp) + XLA CPU thread pools deadlock on small hosts when both
+# spin up OpenMP; pin to one thread before either library loads. (The
+# reference needs the same workaround: /root/reference/test.py:16-17.)
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("KMP_BLOCKTIME", "0")
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
