@@ -1,0 +1,191 @@
+"""Inference driver: depth/confidence export + point-cloud fusion.
+
+Parity target: /root/reference/test.py — per-scene depth export
+(.pfm + cam.txt + .jpg + conf maps) and per-dataset fusion dispatch with the
+reference's hardcoded per-scene hyperparameters (now in config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        description="Depth export + fusion (TPU inference)")
+    p.add_argument("--method", default="casdiffmvs",
+                   choices=["casdiffmvs", "diffmvs"])
+    p.add_argument("--preset", default=None,
+                   help="model preset; defaults per --method/--dataset")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--loadckpt", default=None,
+                   help=".ckpt (torch) or orbax checkpoint dir")
+    p.add_argument("--outdir", default="./outputs")
+    p.add_argument("--save_depth", action="store_true")
+    p.add_argument("--dataset", default="general",
+                   choices=["dtu", "tank", "eth3d", "general"])
+    p.add_argument("--testpath")
+    p.add_argument("--testlist")
+    p.add_argument("--num_view", type=int, default=5)
+    p.add_argument("--max_h", type=int, default=4800)
+    p.add_argument("--max_w", type=int, default=6400)
+    p.add_argument("--numdepth_initial", type=int, default=None)
+    p.add_argument("--numdepth", type=int, default=384)
+    p.add_argument("--geo_mask_thres", type=int, default=2)
+    p.add_argument("--geo_pixel_thres", type=float, default=1.0)
+    p.add_argument("--geo_depth_thres", type=float, default=0.01)
+    p.add_argument("--photo_thres", nargs="+", type=float,
+                   default=[0.3, 0.0, 0.0])
+    p.add_argument("--seed", type=int, default=123)
+    return p
+
+
+def default_preset(method: str, dataset: str) -> str:
+    if dataset == "dtu":
+        return method
+    if dataset == "tank":
+        return f"{method}_tank"
+    return f"{method}_mvg"
+
+
+def save_scene_depth(args, cfg, testlist):
+    """Export depth maps for the scenes in `testlist`
+    (test.py:92-205)."""
+    import dataclasses
+
+    import jax
+
+    from diffmvs_tpu.data.io import save_pfm, write_cam
+    from diffmvs_tpu.data.mvs import MVSDataset
+    from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+    from diffmvs_tpu.train.step import make_infer_fn
+    from PIL import Image
+
+    model = CasDiffMVS(cfg)
+    infer = make_infer_fn(model)
+
+    variables = None
+    times = []
+    for scene in testlist:
+        ds = MVSDataset(args.testpath, args.num_view, args.numdepth,
+                        dataset=args.dataset, scan=[scene],
+                        max_h=args.max_h, max_w=args.max_w)
+        for idx in range(len(ds)):
+            sample = ds[idx]
+            imgs = sample["imgs"][None]
+            projs = {k: v[None] for k, v in sample["proj_matrices"].items()}
+            depth_values = sample["depth_values"][None]
+
+            if variables is None:
+                if args.loadckpt and args.loadckpt.endswith(".ckpt"):
+                    from diffmvs_tpu.tools.torch_import import (
+                        load_torch_checkpoint)
+                    variables = load_torch_checkpoint(args.loadckpt, cfg)
+                else:
+                    variables = model.init(
+                        jax.random.PRNGKey(0), imgs, projs, depth_values,
+                        rng=None, train=False, export=True)
+                    if args.loadckpt:
+                        raise NotImplementedError(
+                            "orbax eval restore: use cli.train --resume")
+
+            rng = jax.random.PRNGKey(args.seed + idx)
+            t0 = time.time()
+            depth, confs = infer(variables, imgs, projs, depth_values, rng)
+            depth = np.asarray(depth)
+            elapsed = time.time() - t0
+            times.append(elapsed)
+            print(f"Iter {idx}/{len(ds)}, Time:{elapsed:.3f} "
+                  f"Res:{imgs.shape}")
+
+            filename = sample["filename"]
+            depth_max = 1.0 / sample["depth_values"][0]
+            depth_min = 1.0 / sample["depth_values"][-1]
+            cam = sample["proj_matrices"]["stage4"][0]
+
+            def outpath(sub, ext):
+                path = os.path.join(args.outdir, filename.format(sub, ext))
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                return path
+
+            save_pfm(outpath("depth_est", ".pfm"), depth[0])
+            write_cam(outpath("cams", "_cam.txt"), cam, depth_max, depth_min)
+            img8 = np.clip(sample["imgs"][0] * 255, 0, 255).astype(np.uint8)
+            Image.fromarray(img8).save(outpath("images", ".jpg"))
+            n_conf = 3 if args.method == "casdiffmvs" else 2
+            for i in range(n_conf):
+                save_pfm(outpath(f"conf{i}", ".pfm"),
+                         np.asarray(confs[i][0]))
+    if times:
+        print("avg_time", float(np.mean(times)))
+
+
+def run_fusion(args, testlist):
+    """Per-dataset fusion dispatch (test.py:300-368)."""
+    from diffmvs_tpu.config import (
+        ETH3D_GEO_MASK_THRES, ETH3D_GEO_PIXEL_THRES, TANK_PHOTO_THRES)
+    from diffmvs_tpu.fusion.fuse import filter_depth, filter_depth_dynamic
+
+    plypath = os.path.join(args.outdir, "pc")
+    os.makedirs(plypath, exist_ok=True)
+
+    if args.dataset == "general":
+        filter_depth(args.testpath, args.outdir,
+                     os.path.join(args.outdir, "pc.ply"),
+                     args.geo_mask_thres, args.geo_pixel_thres,
+                     args.geo_depth_thres, tuple(args.photo_thres),
+                     args.method, args.dataset)
+        return
+
+    for scan in testlist:
+        pair_folder = os.path.join(args.testpath, scan)
+        out_folder = os.path.join(args.outdir, scan)
+        if args.dataset == "dtu":
+            scan_id = int(scan[4:])
+            ply = os.path.join(plypath, f"mvs{scan_id:03d}_l3.ply")
+            filter_depth(pair_folder, out_folder, ply, args.geo_mask_thres,
+                         args.geo_pixel_thres, args.geo_depth_thres,
+                         tuple(args.photo_thres), args.method, args.dataset)
+        elif args.dataset == "tank":
+            name = scan.split("/")[1]
+            ply = os.path.join(plypath, f"{name}.ply")
+            filter_depth_dynamic(name, pair_folder, out_folder, ply,
+                                 TANK_PHOTO_THRES[name], args.method)
+        elif args.dataset == "eth3d":
+            ply = os.path.join(plypath, f"{scan}.ply")
+            filter_depth(pair_folder, out_folder, ply,
+                         ETH3D_GEO_MASK_THRES.get(scan, 1),
+                         ETH3D_GEO_PIXEL_THRES.get(scan, 1.0),
+                         args.geo_depth_thres, tuple(args.photo_thres),
+                         args.method, args.dataset)
+
+
+def main(argv=None):
+    import dataclasses
+
+    from diffmvs_tpu.config import MODEL_PRESETS
+
+    args = build_argparser().parse_args(argv)
+    preset = args.preset or default_preset(args.method, args.dataset)
+    cfg = MODEL_PRESETS[preset]
+    if args.numdepth_initial:
+        cfg = dataclasses.replace(cfg, numdepth_initial=args.numdepth_initial)
+    cfg = dataclasses.replace(cfg, numdepth=args.numdepth)
+
+    if args.dataset == "general" or not args.testlist:
+        testlist = [""]
+    else:
+        with open(args.testlist) as f:
+            testlist = [line.rstrip() for line in f.readlines()]
+
+    if args.save_depth:
+        save_scene_depth(args, cfg, testlist)
+    run_fusion(args, testlist)
+
+
+if __name__ == "__main__":
+    main()

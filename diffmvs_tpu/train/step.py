@@ -1,0 +1,107 @@
+"""Jitted train / eval step functions.
+
+Parity targets: train_sample (/root/reference/train.py:179-231) and
+test_sample_depth (train.py:234-291) — loss, grad clip, AdamW step, and the
+init/final absolute-depth-error metrics.
+
+TPU design: one jitted function per phase; the device mesh enters through
+in_shardings on the batch + replicated params (see diffmvs_tpu/parallel).
+Gradient all-reduce and sync-BN fall out of XLA's SPMD partitioning — no
+hand-written collectives in the step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from diffmvs_tpu.models.loss import compute_inverse_loss
+from diffmvs_tpu.utils.metrics import abs_depth_error
+
+
+def make_train_step(model, cfg, donate: bool = True):
+    """cfg: TrainConfig. Returns train_step(state, batch, rng)."""
+
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["imgs"], batch["proj_matrices"],
+                batch["depth_values"], depth_gt=batch["depth"], rng=rng,
+                train=True, mutable=["batch_stats"])
+            loss, loss_dict = compute_inverse_loss(
+                outputs["depth"], outputs["conf"], batch["depth"],
+                batch["mask"], batch["depth_values"],
+                cfg.model.stage_iters, cfg.loss_rate, cfg.conf_weight)
+            return loss, (loss_dict, mutated["batch_stats"], outputs)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (loss_dict, new_stats, outputs)), grads = grad_fn(state.params)
+
+        new_state = state.apply_gradients(grads=grads,
+                                          batch_stats=new_stats)
+
+        depth_est = outputs["depth"][-1]
+        depth_init = outputs["depth"][0]
+        scalars = {
+            "loss": loss,
+            "depth_loss": loss_dict[f"l{len(outputs['depth']) - 1}"],
+            "init_abs_depth_error": abs_depth_error(
+                depth_init, batch["depth"]["stage1"],
+                batch["mask"]["stage1"] > 0.5),
+            "final_depth_error": abs_depth_error(
+                depth_est, batch["depth"]["stage4"],
+                batch["mask"]["stage4"] > 0.5),
+            **loss_dict,
+        }
+        return new_state, scalars
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg):
+    """Validation step: DDIM eval branch with full intermediate lists
+    (the reference's test_sample_depth — model.eval(), test=False)."""
+
+    def eval_step(state, batch, rng):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+            rng=rng, train=False, export=False)
+        loss, loss_dict = compute_inverse_loss(
+            outputs["depth"], outputs["conf"], batch["depth"],
+            batch["mask"], batch["depth_values"],
+            cfg.model.stage_iters, cfg.loss_rate, cfg.conf_weight)
+
+        depth_est = outputs["depth"][-1]
+        scalars = {
+            "loss": loss,
+            "depth_loss": loss_dict[f"l{len(outputs['depth']) - 1}"],
+            "init_abs_depth_error": abs_depth_error(
+                outputs["depth"][0], batch["depth"]["stage1"],
+                batch["mask"]["stage1"] > 0.5),
+            "final_depth_error": abs_depth_error(
+                depth_est, batch["depth"]["stage4"],
+                batch["mask"]["stage4"] > 0.5),
+            **loss_dict,
+        }
+        return scalars
+
+    return jax.jit(eval_step)
+
+
+def make_infer_fn(model):
+    """Export-mode inference: returns (final_depth, [conf0..confN]) —
+    the test.py save-depth path."""
+
+    def infer(variables, imgs, proj_matrices, depth_values,
+              rng: Optional[jax.Array] = None):
+        outputs = model.apply(variables, imgs, proj_matrices, depth_values,
+                              rng=rng, train=False, export=True)
+        return (outputs["depth"][-1],
+                outputs["photometric_confidence"])
+
+    return jax.jit(infer)

@@ -12,13 +12,13 @@ import os
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("KMP_BLOCKTIME", "0")
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 import jax  # noqa: E402
+
+# Force the CPU backend: the machine env pins JAX_PLATFORMS=axon (the TPU
+# tunnel), and only the config update reliably overrides it. 8 virtual CPU
+# devices for multi-chip sharding tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 jax.config.update("jax_enable_x64", False)
 # Full-f32 matmuls/convs in tests — the backend default rounds operands to

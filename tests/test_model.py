@@ -1,0 +1,125 @@
+"""End-to-end model smoke tests on tiny synthetic scenes."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffmvs_tpu.config import CASDIFFMVS, DIFFMVS, TrainConfig
+from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+from diffmvs_tpu.models.loss import loss_layout
+
+from helpers import make_batch
+
+B, V, H, W = 1, 3, 64, 96
+TINY = dict(numdepth_initial=8, numdepth=32)
+
+
+def tiny(cfg):
+    return dataclasses.replace(cfg, **TINY)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(0)
+    return make_batch(rng, B, V, H, W, numdepth=32, with_gt=True)
+
+
+def _init(cfg, batch, train):
+    model = CasDiffMVS(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"],
+        depth_gt=batch["depth"] if train else None,
+        rng=jax.random.PRNGKey(1), train=train)
+    return model, variables
+
+
+def test_casdiffmvs_export_shapes(batch):
+    cfg = tiny(CASDIFFMVS)
+    model, variables = _init(cfg, batch, train=False)
+
+    out = jax.jit(
+        lambda v, b: model.apply(v, b["imgs"], b["proj_matrices"],
+                                 b["depth_values"], rng=None, train=False,
+                                 export=True)
+    )(variables, batch)
+
+    depths = out["depth"]
+    # [init(1/8), up(1/4), s1_final(1/4), s1_up(1/2), s2_final(1/2), s2_up(1)]
+    assert len(depths) == 6
+    assert depths[0].shape == (B, H // 8, W // 8)
+    assert depths[1].shape == (B, H // 4, W // 4)
+    assert depths[2].shape == (B, H // 4, W // 4)
+    assert depths[3].shape == (B, H // 2, W // 2)
+    assert depths[4].shape == (B, H // 2, W // 2)
+    assert depths[5].shape == (B, H, W)
+    confs = out["photometric_confidence"]
+    assert len(confs) == 3
+    for c in confs:
+        assert c.shape == (B, H, W)
+        cn = np.asarray(c)
+        assert cn.min() >= 0.0 and cn.max() <= 1.0 + 1e-6
+
+    # depths in range
+    for d in depths:
+        dn = np.asarray(d)
+        assert np.isfinite(dn).all()
+        assert dn.min() >= 4.0 - 1e-3 and dn.max() <= 10.0 + 1e-2
+
+
+def test_diffmvs_export_shapes(batch):
+    cfg = tiny(DIFFMVS)
+    model, variables = _init(cfg, batch, train=False)
+
+    out = jax.jit(
+        lambda v, b: model.apply(v, b["imgs"], b["proj_matrices"],
+                                 b["depth_values"], rng=None, train=False,
+                                 export=True)
+    )(variables, batch)
+
+    depths = out["depth"]
+    # [init(1/8), up(1/4), s1_final(1/4), s1_up(full x4)]
+    assert len(depths) == 4
+    assert depths[-1].shape == (B, H, W)
+    assert len(out["photometric_confidence"]) == 2
+
+
+def test_casdiffmvs_train_forward_layout(batch):
+    """Training branch emits the exact list layout the loss expects."""
+    cfg = tiny(CASDIFFMVS)
+    model, variables = _init(cfg, batch, train=True)
+
+    out, mutated = jax.jit(
+        lambda v, b, r: model.apply(
+            v, b["imgs"], b["proj_matrices"], b["depth_values"],
+            depth_gt=b["depth"], rng=r, train=True,
+            mutable=["batch_stats"])
+    )(variables, batch, jax.random.PRNGKey(3))
+
+    stage_id, conf_flag = loss_layout(cfg.stage_iters)
+    assert len(out["depth"]) == len(stage_id)
+    assert len(out["conf"]) == sum(conf_flag)
+    for d in out["depth"]:
+        assert np.isfinite(np.asarray(d)).all()
+
+
+def test_train_step_runs_and_updates(batch):
+    from diffmvs_tpu.train.state import create_train_state
+    from diffmvs_tpu.train.step import make_train_step
+
+    cfg = TrainConfig(model=tiny(CASDIFFMVS), epochs=1)
+    model = CasDiffMVS(cfg.model)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=10)
+    step = make_train_step(model, cfg, donate=False)
+
+    p_before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    new_state, scalars = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(scalars["loss"]))
+    assert np.isfinite(float(scalars["final_depth_error"]))
+    p_after = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
+    assert new_state.step == 1
