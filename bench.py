@@ -22,6 +22,10 @@ import numpy as np
 def main():
     import jax
 
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from diffmvs_tpu.config import CASDIFFMVS
     from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
     from __graft_entry__ import _synthetic_inputs

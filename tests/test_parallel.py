@@ -1,0 +1,82 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffmvs_tpu.config import CASDIFFMVS, TrainConfig
+from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+from diffmvs_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from diffmvs_tpu.train.state import create_train_state
+from diffmvs_tpu.train.step import make_train_step
+
+from helpers import make_batch
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+def _tiny_cfg():
+    return dataclasses.replace(CASDIFFMVS, numdepth_initial=8, numdepth=32)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "space": 2}
+    mesh = make_mesh(-1, 2)
+    assert mesh.shape["data"] * 2 == len(jax.devices())
+
+
+def test_shard_batch_layouts(rng):
+    mesh = make_mesh(4, 2)
+    batch = make_batch(rng, 4, 3, 64, 128, numdepth=32, with_gt=True)
+    sharded = shard_batch(mesh, batch)
+    # imgs sharded over (data, space) on axes (0, 3)
+    s = sharded["imgs"].sharding
+    assert s.shard_shape(sharded["imgs"].shape) == (1, 3, 64, 64, 3)
+    # GT maps sharded over (data, -, space)
+    s4 = sharded["depth"]["stage4"]
+    assert s4.sharding.shard_shape(s4.shape) == (1, 64, 64)
+    # small tensors sharded over batch only
+    dv = sharded["depth_values"]
+    assert dv.sharding.shard_shape(dv.shape) == (1, 32)
+
+
+def test_dp_sp_train_step_matches_single_device(rng):
+    """One dp x sp sharded step == the same step unsharded (same math,
+    sync-BN over the global batch in both cases)."""
+    cfg = TrainConfig(model=_tiny_cfg(), batch_size=4, epochs=1)
+    model = CasDiffMVS(cfg.model)
+    batch = make_batch(rng, 4, 3, 64, 128, numdepth=32, with_gt=True)
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=10)
+    step = make_train_step(model, cfg, donate=False)
+    key = jax.random.PRNGKey(7)
+
+    # single-device baseline
+    _, scalars_single = step(state, batch, key)
+
+    # sharded
+    mesh = make_mesh(4, 2)
+    state_r = replicate(mesh, state)
+    batch_s = shard_batch(mesh, batch)
+    new_state, scalars_sharded = step(state_r, batch_s, key)
+
+    for k in ("loss", "final_depth_error"):
+        a = float(scalars_single[k])
+        b = float(scalars_sharded[k])
+        assert np.isfinite(a) and np.isfinite(b)
+        np.testing.assert_allclose(a, b, rtol=5e-3), k
+
+    # params stay replicated + finite
+    p = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(p)).all()
