@@ -160,8 +160,12 @@ def main(argv=None):
     state = replicate(mesh, state)
 
     os.makedirs(args.logdir, exist_ok=True)
-    run_training(model, cfg, state, train_loader, val_loader, mesh,
-                 args.logdir, start_epoch)
+    if args.mode == "test":
+        from diffmvs_tpu.train.loop import run_eval
+        run_eval(model, cfg, state, val_loader, args.logdir)
+    else:
+        run_training(model, cfg, state, train_loader, val_loader, mesh,
+                     args.logdir, start_epoch)
 
 
 if __name__ == "__main__":

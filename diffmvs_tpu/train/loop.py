@@ -47,6 +47,25 @@ class ScalarLogger:
                     self._tb.add_scalar(f"{mode}/{k}", v, step)
 
 
+def run_eval(model, cfg, state, val_loader, logdir: str = None):
+    """Eval-only pass over the validation loader (the reference's
+    `--mode test` in train.py:165-176). Returns mean scalars."""
+    eval_step = make_eval_step(model, cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    meter = DictAverageMeter()
+    for batch_idx, batch in enumerate(val_loader):
+        t0 = time.time()
+        scalars = eval_step(state, batch, jax.random.fold_in(rng, batch_idx))
+        scalars = {k: float(v) for k, v in jax.device_get(scalars).items()}
+        scalars["time"] = time.time() - t0
+        meter.update(scalars)
+    means = meter.mean()
+    print("final", means)
+    if logdir:
+        ScalarLogger(logdir).log("eval", means, 0)
+    return means
+
+
 def run_training(model, cfg, state, train_loader, val_loader, mesh,
                  logdir: str, start_epoch: int = 0):
     logger = ScalarLogger(logdir)
@@ -63,11 +82,15 @@ def run_training(model, cfg, state, train_loader, val_loader, mesh,
             step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch
                                           + batch_idx)
             t0 = time.time()
-            state, scalars = train_step(state, batch, step_rng)
+            state, scalars, images = train_step(state, batch, step_rng)
             global_step = epoch * steps_per_epoch + batch_idx
             if global_step % cfg.summary_freq == 0:
                 scalars = jax.device_get(scalars)
                 logger.log("train", scalars, global_step)
+            if global_step % (50 * cfg.summary_freq) == 0:
+                from diffmvs_tpu.utils.summaries import save_images
+                save_images(logdir, "train", jax.device_get(images),
+                            global_step, tb=logger._tb)
             print(f"Epoch {epoch}/{total_epochs}, Iter {batch_idx}/"
                   f"{steps_per_epoch}, loss = {float(scalars['loss']):.3f}, "
                   f"time = {time.time() - t0:.3f}")

@@ -57,7 +57,17 @@ def make_train_step(model, cfg, donate: bool = True):
                 batch["mask"]["stage4"] > 0.5),
             **loss_dict,
         }
-        return new_state, scalars
+        # image summaries (train.py:222-229); fetched lazily by the loop
+        images = {
+            "depth_est": depth_est * batch["mask"]["stage4"],
+            "depth_est_nomask": depth_est,
+            "depth_gt": batch["depth"]["stage4"],
+            "errormap": jnp.abs(depth_est - batch["depth"]["stage4"])
+            * batch["mask"]["stage4"],
+        }
+        if outputs["conf"]:
+            images["confidence"] = outputs["conf"][-1]
+        return new_state, scalars, images
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

@@ -117,7 +117,8 @@ def test_train_step_runs_and_updates(batch):
     step = make_train_step(model, cfg, donate=False)
 
     p_before = jax.tree_util.tree_leaves(state.params)[0].copy()
-    new_state, scalars = step(state, batch, jax.random.PRNGKey(1))
+    new_state, scalars, images = step(state, batch, jax.random.PRNGKey(1))
+    assert set(images) >= {"depth_est", "errormap"}
     assert np.isfinite(float(scalars["loss"]))
     assert np.isfinite(float(scalars["final_depth_error"]))
     p_after = jax.tree_util.tree_leaves(new_state.params)[0]

@@ -63,13 +63,13 @@ def test_dp_sp_train_step_matches_single_device(rng):
     key = jax.random.PRNGKey(7)
 
     # single-device baseline
-    _, scalars_single = step(state, batch, key)
+    _, scalars_single, _ = step(state, batch, key)
 
     # sharded
     mesh = make_mesh(4, 2)
     state_r = replicate(mesh, state)
     batch_s = shard_batch(mesh, batch)
-    new_state, scalars_sharded = step(state_r, batch_s, key)
+    new_state, scalars_sharded, _ = step(state_r, batch_s, key)
 
     for k in ("loss", "final_depth_error"):
         a = float(scalars_single[k])
