@@ -55,7 +55,7 @@ def _bilinear_one(src, x, y):
 
 
 def bilinear_sample(src, x, y):
-    """Batched bilinear sampling.
+    """Batched bilinear sampling (naive 4-gather reference path).
 
     src: [B, Hs, Ws, C] feature maps.
     x, y: [B, ...] pixel coordinates (align_corners=True convention:
@@ -67,3 +67,59 @@ def bilinear_sample(src, x, y):
     yf = y.reshape(y.shape[0], -1)
     out = jax.vmap(_bilinear_one)(src, xf, yf)
     return out.reshape(*batch_shape, src.shape[-1])
+
+
+def pack_corners(src):
+    """[B, Hs, Ws, C] -> [B, (Hs+1)*(Ws+1), 4C] corner-packed features.
+
+    packed[y1, x1] = (src[y1-1, x1-1], src[y1-1, x1], src[y1, x1-1],
+    src[y1, x1]) with zeros outside the image — i.e. the four bilinear
+    corners of any sample whose ceil-index is (y1, x1). One row-gather then
+    fetches all four corners at once (4x fewer gather rows than the naive
+    path, wider rows => better TPU lane utilization).
+    """
+    b, hs, ws, c = src.shape
+    pad = jnp.pad(src, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate([
+        pad[:, :-1, :-1], pad[:, :-1, 1:],
+        pad[:, 1:, :-1], pad[:, 1:, 1:],
+    ], axis=-1)                                  # [B, Hs+1, Ws+1, 4C]
+    return packed.reshape(b, (hs + 1) * (ws + 1), 4 * c)
+
+
+def _bilinear_packed_one(packed, hs, ws, c, x, y):
+    """packed: [(Hs+1)*(Ws+1), 4C]; x, y: [N]. Returns [N, C]."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[:, None].astype(packed.dtype)
+    wy = (y - y0)[:, None].astype(packed.dtype)
+
+    x1 = x0.astype(jnp.int32) + 1
+    y1 = y0.astype(jnp.int32) + 1
+    # a sample contributes iff its ceil-index lies in [0, Ws] x [0, Hs]
+    valid = ((x1 >= 0) & (x1 <= ws) & (y1 >= 0) & (y1 <= hs))
+    x1c = jnp.clip(x1, 0, ws)
+    y1c = jnp.clip(y1, 0, hs)
+    rows = jnp.take(packed, y1c * (ws + 1) + x1c, axis=0)   # [N, 4C]
+
+    v00 = rows[:, :c]
+    v01 = rows[:, c:2 * c]
+    v10 = rows[:, 2 * c:3 * c]
+    v11 = rows[:, 3 * c:]
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    out = top + (bot - top) * wy
+    return out * valid[:, None].astype(packed.dtype)
+
+
+def bilinear_sample_packed(packed, hs, ws, channels, x, y):
+    """Batched packed-gather bilinear sampling; exact parity with
+    bilinear_sample. packed from pack_corners; hs/ws/channels are the
+    ORIGINAL feature dims."""
+    batch_shape = x.shape
+    xf = x.reshape(x.shape[0], -1)
+    yf = y.reshape(y.shape[0], -1)
+    out = jax.vmap(
+        lambda p, xx, yy: _bilinear_packed_one(p, hs, ws, channels, xx, yy)
+    )(packed, xf, yf)
+    return out.reshape(*batch_shape, channels)

@@ -22,7 +22,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from diffmvs_tpu.geometry.sampling import bilinear_sample
+from diffmvs_tpu.geometry.sampling import (
+    bilinear_sample,
+    bilinear_sample_packed,
+    pack_corners,
+)
 from diffmvs_tpu.geometry.transforms import relative_projection
 
 
@@ -58,14 +62,20 @@ def plane_sweep_coords(rot, trans, depth_values):
     return x, y
 
 
-def plane_sweep_warp(src_fea, src_pair, ref_pair, depth_values):
+def plane_sweep_warp(src_fea, src_pair, ref_pair, depth_values,
+                     packed: bool = True):
     """Warp source features onto the reference plane-sweep volume.
 
     src_fea: [B, Hs, Ws, C] source-view features (NHWC).
     src_pair, ref_pair: [B, 2, 4, 4] (extrinsic, intrinsic) stacks.
     depth_values: [B, D, H, W] metric depth hypotheses at ref resolution.
+    packed=True uses the corner-packed single-gather path (4x fewer gather
+    rows; exact parity with the naive path — tests/test_geometry.py).
     Returns [B, D, H, W, C].
     """
     rot, trans = relative_projection(src_pair, ref_pair)
     x, y = plane_sweep_coords(rot, trans, depth_values)
+    if packed:
+        b, hs, ws, c = src_fea.shape
+        return bilinear_sample_packed(pack_corners(src_fea), hs, ws, c, x, y)
     return bilinear_sample(src_fea, x, y)

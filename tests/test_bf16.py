@@ -1,0 +1,46 @@
+"""bfloat16 compute-mode smoke test: the conv stacks run in bf16 while
+geometry / soft-argmax / diffusion state stay f32; outputs must stay finite
+and close to the f32 path."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from diffmvs_tpu.config import CASDIFFMVS
+from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+
+import sys
+sys.path.insert(0, "tests")
+from helpers import make_batch  # noqa: E402
+
+
+def test_bf16_eval_close_to_f32():
+    cfg32 = dataclasses.replace(CASDIFFMVS, numdepth_initial=8, numdepth=32)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+
+    batch = make_batch(np.random.RandomState(0), 1, 3, 64, 96, numdepth=32)
+    model32 = CasDiffMVS(cfg32)
+    variables = model32.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], rng=None, train=False, export=True)
+
+    def run(cfg):
+        model = CasDiffMVS(cfg)
+        out = jax.jit(
+            lambda v, b: model.apply(v, b["imgs"], b["proj_matrices"],
+                                     b["depth_values"], rng=None,
+                                     train=False, export=True)
+        )(variables, batch)
+        return [np.asarray(d, np.float32) for d in out["depth"]]
+
+    d32 = run(cfg32)
+    d16 = run(cfg16)
+    for a, b in zip(d32, d16):
+        assert np.isfinite(b).all()
+        assert b.min() >= 4.0 - 1e-2 and b.max() <= 10.0 + 1e-1
+        # with *random* weights the cost volumes are noise, so bf16 shifts
+        # the soft-argmax visibly; bound the drift loosely (range is [4,10]).
+        # Real bf16 quality is a trained-weights question (BASELINE.md).
+        assert np.abs(a - b).mean() < 1.0

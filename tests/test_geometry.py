@@ -131,6 +131,31 @@ def test_plane_sweep_warp_matches_torch(rng):
     np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=2e-3)
 
 
+def test_packed_sampler_matches_naive(rng):
+    """Corner-packed single-gather path == naive 4-gather path, including
+    border-straddling and fully out-of-bounds samples."""
+    from diffmvs_tpu.geometry.sampling import (
+        bilinear_sample_packed, pack_corners)
+
+    b, hs, ws, c = 2, 9, 11, 5
+    n = 600
+    src = rng.randn(b, hs, ws, c).astype(np.float32)
+    x = (rng.rand(b, n).astype(np.float32) * (ws + 6) - 3)
+    y = (rng.rand(b, n).astype(np.float32) * (hs + 6) - 3)
+    # exact-integer and exact-border coords too
+    x[:, :20] = np.round(x[:, :20])
+    y[:, :20] = np.round(y[:, :20])
+
+    naive = np.asarray(jax.jit(bilinear_sample)(
+        jnp.asarray(src), jnp.asarray(x), jnp.asarray(y)))
+    packed = jax.jit(
+        lambda s, xx, yy: bilinear_sample_packed(
+            pack_corners(s), hs, ws, c, xx, yy)
+    )(jnp.asarray(src), jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(packed), naive, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_compose_projection(rng):
     ext = np.eye(4, dtype=np.float32)[None].repeat(3, 0)
     ext[:, :3, 3] = rng.randn(3, 3)
