@@ -43,8 +43,12 @@ def main():
     else:
         h, w, cfg_nd, nd_init, reps = 1152, 1600, 384, 48, 10
 
+    # production inference config: bf16 conv/feature compute (geometry,
+    # soft-argmax and diffusion state stay f32 — see ModelConfig), which also
+    # halves the plane-sweep gather traffic. tests/test_bf16.py guards the
+    # numerics; f32 is a config flip.
     cfg = dataclasses.replace(CASDIFFMVS, numdepth_initial=nd_init,
-                              numdepth=cfg_nd)
+                              numdepth=cfg_nd, compute_dtype="bfloat16")
     model = CasDiffMVS(cfg)
 
     imgs, projs, depth_values = _synthetic_inputs(1, 5, h, w, cfg.numdepth)

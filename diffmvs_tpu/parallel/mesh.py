@@ -25,6 +25,17 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed() -> None:
+    """Multi-host initialization (jax.distributed). Call once per process
+    before any jax op when running multi-host TPU pods; a no-op for
+    single-process runs or when the coordinator env isn't set."""
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
 def make_mesh(dp: int = -1, sp: int = 1, devices=None) -> Mesh:
     """dp=-1: use all devices / sp."""
     devices = devices if devices is not None else jax.devices()
