@@ -42,25 +42,29 @@ def depth_to_disp(depth, min_depth, max_depth):
 
 
 def depth_range_samples(cur_depth, ndepth, interval, confidence=None,
-                        min_radius=0.2, max_radius=2.0):
+                        min_radius=0.2, max_radius=2.0, use_confidence=None):
     """Sample `ndepth` new inverse-depth hypotheses around `cur_depth`.
 
     cur_depth: [B, H, W] current normalized inverse depth.
     confidence: optional [B, H, W]; when given, the search radius adapts as
       r = r_min + (1 - conf) * (r_max - r_min) with
       r_min = min_radius * r0, r_max = max_radius * r0, r0 = ndepth//2 * interval.
+    use_confidence: optional traced bool scalar selecting the adaptive
+      radius at runtime (for scan bodies where the first iteration has no
+      confidence yet — reference passes confidence=None there).
     Returns [B, ndepth, H, W] clipped to [0, 1].
     """
     radius0 = (ndepth // 2) * interval
     if confidence is None:
-        lo = cur_depth - radius0
-        hi = cur_depth + radius0
+        radius = radius0
     else:
         r_min = min_radius * radius0
         r_max = max_radius * radius0
         radius = r_min + (1.0 - confidence) * (r_max - r_min)
-        lo = cur_depth - radius
-        hi = cur_depth + radius
+        if use_confidence is not None:
+            radius = jnp.where(use_confidence, radius, radius0)
+    lo = cur_depth - radius
+    hi = cur_depth + radius
 
     step = (hi - lo) / (ndepth - 1)                       # [B, H, W]
     idx = jnp.arange(ndepth, dtype=cur_depth.dtype).reshape(1, ndepth, 1, 1)

@@ -16,7 +16,6 @@ with the same list layout as the reference (loss indexing depends on it).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -28,7 +27,7 @@ from diffmvs_tpu.geometry.transforms import depth_to_disp, disp_to_depth
 from diffmvs_tpu.geometry.upsample import upsample_with_mask
 from diffmvs_tpu.models.refine import RefinementStage
 from diffmvs_tpu.models.schedule import DiffusionSchedule
-from diffmvs_tpu.models.stages import InitialStage, local_cost_volume
+from diffmvs_tpu.models.stages import InitialStage
 from diffmvs_tpu.nn.context import ContextNet
 from diffmvs_tpu.nn.feature import FeatureNet
 from diffmvs_tpu.nn.layers import ConvBnAct, conv
@@ -82,6 +81,9 @@ class CasDiffMVS(nn.Module):
                 context_dim=cfg.context_dim[s],
                 num_sample=cfg.cost_num[s],
                 cost_dim=cfg.cost_dim_stage[s] * cfg.cost_num[s],
+                group_dim=cfg.cost_dim_stage[s],
+                depth_interval=(1.0 / cfg.numdepth)
+                * cfg.depth_intervals_ratio[s],
                 iters=cfg.stage_iters[s],
                 up_ratio=cfg.up_ratio,
                 schedule=DiffusionSchedule(
@@ -89,6 +91,8 @@ class CasDiffMVS(nn.Module):
                     sampling_timesteps=cfg.sampling_timesteps[s],
                     eta=cfg.ddim_eta[s],
                     scale=cfg.scale[s]),
+                min_radius=cfg.min_radius,
+                max_radius=cfg.max_radius,
                 dtype=dt,
                 name=f"update_block{s}"))
         self.hidden_inits = hidden_inits
@@ -109,7 +113,6 @@ class CasDiffMVS(nn.Module):
         disp_max = depth_values[:, -1].astype(jnp.float32)
         depth_max = 1.0 / disp_min
         depth_min = 1.0 / disp_max
-        depth_interval = 1.0 / depth_values.shape[1]
 
         def bshape(x, arr):
             return x.reshape((b,) + (1,) * (arr.ndim - 1))
@@ -139,7 +142,6 @@ class CasDiffMVS(nn.Module):
 
         init_depth = None
         view_weights = None
-        ratios = cfg.depth_intervals_ratio
 
         for stage_idx in range(3):
             if cfg.stage_iters[stage_idx] == 0 and stage_idx > 0:
@@ -195,28 +197,13 @@ class CasDiffMVS(nn.Module):
                     inv_init = None
                     inv_gt = None
 
-                depth_cost_func = functools.partial(
-                    local_cost_volume,
-                    features=feat_list,
-                    proj_pairs=proj_stage,
-                    depth_interval=depth_interval * ratios[stage_idx],
-                    depth_min=depth_min,
-                    depth_max=depth_max,
-                    cost_num=cfg.cost_num[stage_idx],
-                    group_dim=cfg.cost_dim_stage[stage_idx],
-                    view_weights=vw_stage,
-                    min_radius=cfg.min_radius,
-                    max_radius=cfg.max_radius,
-                )
-                def cost_fn(inv, confidence, _f=depth_cost_func):
-                    return _f(inv, confidence=confidence)
-
                 stage_rng = None
                 if rng is not None:
                     stage_rng = jax.random.fold_in(rng, stage_idx)
 
                 mask, _, inv_seq, conf_seq = self.update_blocks[block_i](
-                    cost_fn, inv_cur, hidden_d, ctx,
+                    inv_cur, hidden_d, ctx, feat_list, proj_stage,
+                    depth_min, depth_max, vw_stage,
                     gt_inv_depth=inv_gt, inv_init_depth=inv_init,
                     rng=stage_rng, train=train)
 

@@ -5,9 +5,15 @@ Parity target: DiffusionUpdateBlockDepth — /root/reference/models/update.py:29
 Per stage: the residual inverse depth is diffused (training: q_sample of the
 GT residual at a random timestep; inference: DDIM over sampling_timesteps
 pairs), and a GRU-UNet denoiser iteratively predicts delta + confidence from
-local cost volumes. All iteration counts and DDIM steps are static -> the
-loops unroll at trace time; the released configs use sampling_timesteps=1,
-which collapses inference to a single denoising pass.
+local cost volumes.
+
+TPU design: the inner GRU-UNet iterations run under nn.scan (one compiled
+body per stage instead of an `iters`-times unrolled graph — ~3x smaller HLO
+and compile time; identical numerics, verified by the full-parity test).
+The reference's per-iteration detach (update.py:442-445) is applied
+unconditionally inside the cell — a no-op for inference, exact semantics for
+training. DDIM time pairs stay unrolled (sampling_timesteps is 1 in all
+released configs).
 
 RNG: callers pass an explicit key (or None for deterministic zero-noise,
 the parity-test seam — the released eval configs use scale=0 for most
@@ -16,14 +22,14 @@ stages anyway, cf. SURVEY.md §7.5).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from diffmvs_tpu.models.schedule import DiffusionSchedule
-from diffmvs_tpu.models.stages import UpsampleMaskHead
+from diffmvs_tpu.models.stages import UpsampleMaskHead, local_cost_volume
 from diffmvs_tpu.nn.unet import ConditionEncoder, DiffusionUNet
 
 
@@ -31,6 +37,59 @@ def _noise_like(key, x, scale):
     if key is None or scale == 0.0:
         return jnp.zeros_like(x)
     return scale * jax.random.normal(key, x.shape, x.dtype)
+
+
+class RefineIteration(nn.Module):
+    """One GRU-UNet denoising iteration (the nn.scan cell)."""
+
+    unet_dim: int
+    dim_mults: Tuple[int, ...]
+    hidden_dim: int
+    context_dim: int
+    cost_num: int
+    group_dim: int
+    depth_interval: float
+    min_radius: float
+    max_radius: float
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.encoder = ConditionEncoder(
+            hidden_dim=self.context_dim, out_chs=self.context_dim,
+            dtype=self.dtype, name="encoder")
+        self.unet = DiffusionUNet(
+            dim=self.unet_dim, hidden_dim=self.hidden_dim,
+            dim_mults=self.dim_mults, dtype=self.dtype, name="unet")
+
+    def __call__(self, carry, context, t, inv_depth, features, proj_pairs,
+                 depth_min, depth_max, view_weights):
+        hidden, inv_new, delta, confidence, has_conf = carry
+
+        # per-iteration detach (update.py:442-445); no-op at inference
+        delta = jax.lax.stop_gradient(delta)
+        confidence = jax.lax.stop_gradient(confidence)
+        inv_new = jax.lax.stop_gradient(inv_new)
+
+        cost, samples = local_cost_volume(
+            inv_new, list(features), proj_pairs, self.depth_interval,
+            depth_min, depth_max, self.cost_num, self.group_dim,
+            view_weights, confidence=confidence,
+            min_radius=self.min_radius, max_radius=self.max_radius,
+            use_confidence=has_conf)
+        input_features = self.encoder(
+            inv_new[..., None], samples.transpose(0, 2, 3, 1), cost)
+        input_unet = jnp.concatenate([context, input_features], axis=-1)
+        hidden, update, confidence = self.unet(input_unet, hidden, t)
+        # diffusion state stays f32 regardless of conv compute dtype
+        confidence = confidence.astype(jnp.float32)
+        delta = delta + update.astype(jnp.float32)
+
+        inv_new = jnp.clip(inv_depth + delta, 0.0, 1.0)
+        delta = inv_new - inv_depth
+
+        carry = (hidden, inv_new, delta, confidence,
+                 jnp.ones_like(has_conf))
+        return carry, (inv_new, confidence)
 
 
 class RefinementStage(nn.Module):
@@ -42,44 +101,50 @@ class RefinementStage(nn.Module):
     context_dim: int
     num_sample: int              # CostNum[s]
     cost_dim: int                # cost_dim_stage[s] * CostNum[s]
+    group_dim: int               # cost_dim_stage[s]
+    depth_interval: float
     iters: int
     up_ratio: int
     schedule: DiffusionSchedule
+    min_radius: float = 0.2
+    max_radius: float = 2.0
     dtype: Optional[Any] = None
 
     def setup(self):
-        self.encoder = ConditionEncoder(
-            hidden_dim=self.context_dim, out_chs=self.context_dim,
-            dtype=self.dtype, name="encoder")
+        scan = nn.scan(
+            RefineIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=self.iters,
+        )
+        self.cell = scan(
+            unet_dim=self.unet_dim, dim_mults=self.dim_mults,
+            hidden_dim=self.hidden_dim, context_dim=self.context_dim,
+            cost_num=self.num_sample, group_dim=self.group_dim,
+            depth_interval=self.depth_interval,
+            min_radius=self.min_radius, max_radius=self.max_radius,
+            dtype=self.dtype, name="cell")
         self.mask = UpsampleMaskHead(self.up_ratio, dtype=self.dtype,
                                      name="mask")
-        self.unet = DiffusionUNet(
-            dim=self.unet_dim, hidden_dim=self.hidden_dim,
-            dim_mults=self.dim_mults, dtype=self.dtype, name="unet")
 
-    def _denoise_iters(self, depth_cost_func, inv_depth, inv_depth_new,
-                       delta, hidden, context, t):
-        """The shared inner GRU-UNet loop (update.py:441-461 / 487-502)."""
-        inv_list, conf_list = [], []
-        confidence = None
-        for _ in range(self.iters):
-            cost, samples = depth_cost_func(inv_depth_new, confidence)
-            input_features = self.encoder(
-                inv_depth_new[..., None],
-                samples.transpose(0, 2, 3, 1),        # [B,H,W,CostNum]
-                cost)
-            input_unet = jnp.concatenate([context, input_features], axis=-1)
-            hidden, update, confidence = self.unet(input_unet, hidden, t)
-            delta = delta + update
-            conf_list.append(confidence)
+    def _run_iters(self, inv_depth, inv_depth_new, delta, hidden, context,
+                   t, features, proj_pairs, depth_min, depth_max,
+                   view_weights):
+        """Run `iters` denoising iterations; returns the final carry plus
+        stacked per-iteration (inv_depth, confidence)."""
+        carry = (hidden, inv_depth_new, delta,
+                 jnp.zeros_like(inv_depth), jnp.zeros((), bool))
+        carry, (inv_seq, conf_seq) = self.cell(
+            carry, context, t, inv_depth, tuple(features), proj_pairs,
+            depth_min, depth_max, view_weights)
+        hidden, inv_new, delta, _, _ = carry
+        return hidden, inv_new, delta, inv_seq, conf_seq
 
-            inv_depth_new = jnp.clip(inv_depth + delta, 0.0, 1.0)
-            delta = inv_depth_new - inv_depth
-            inv_list.append(inv_depth_new)
-        return hidden, delta, inv_list, conf_list
-
-    def train_forward(self, depth_cost_func, inv_depth, hidden, context,
-                      gt_inv_depth, inv_init_depth, rng):
+    def train_forward(self, inv_depth, hidden, context, gt_inv_depth,
+                      inv_init_depth, rng, features, proj_pairs,
+                      depth_min, depth_max, view_weights):
         """Training branch (update.py:423-464). All maps [B, H, W]."""
         b = inv_depth.shape[0]
         sched = self.schedule
@@ -96,30 +161,17 @@ class RefinementStage(nn.Module):
         inv_depth_new = jnp.clip(inv_depth + delta, 0.0, 1.0)
         delta = inv_depth_new - inv_depth
 
-        inv_list, conf_list = [], []
-        confidence = None
-        for _ in range(self.iters):
-            delta = jax.lax.stop_gradient(delta)
-            if confidence is not None:
-                confidence = jax.lax.stop_gradient(confidence)
-            inv_depth_new = jax.lax.stop_gradient(inv_depth_new)
-
-            cost, samples = depth_cost_func(inv_depth_new, confidence)
-            input_features = self.encoder(
-                inv_depth_new[..., None], samples.transpose(0, 2, 3, 1), cost)
-            input_unet = jnp.concatenate([context, input_features], axis=-1)
-            hidden, update, confidence = self.unet(input_unet, hidden, t)
-            delta = delta + update
-            conf_list.append(confidence)
-
-            inv_depth_new = jnp.clip(inv_depth + delta, 0.0, 1.0)
-            delta = inv_depth_new - inv_depth
-            inv_list.append(inv_depth_new)
+        hidden, _, _, inv_seq, conf_seq = self._run_iters(
+            inv_depth, inv_depth_new, delta, hidden, context, t, features,
+            proj_pairs, depth_min, depth_max, view_weights)
 
         mask = self.mask(context)
+        inv_list = [inv_seq[i] for i in range(self.iters)]
+        conf_list = [conf_seq[i] for i in range(self.iters)]
         return mask, hidden, inv_list, conf_list
 
-    def eval_forward(self, depth_cost_func, inv_depth, hidden, context, rng):
+    def eval_forward(self, inv_depth, hidden, context, rng, features,
+                     proj_pairs, depth_min, depth_max, view_weights):
         """DDIM inference branch (update.py:466-521)."""
         b = inv_depth.shape[0]
         sched = self.schedule
@@ -133,7 +185,7 @@ class RefinementStage(nn.Module):
         mask = self.mask(context)
 
         cur_hidden = hidden
-        inv_list, conf_list = [], []
+        inv_seq = conf_seq = None
         for time, time_next in sched.ddim_time_pairs():
             t = jnp.full((b,), time, dtype=jnp.int32)
             delta = img
@@ -142,9 +194,9 @@ class RefinementStage(nn.Module):
             img = delta
 
             cur_hidden = hidden                        # reset (update.py:485)
-            cur_hidden, delta, inv_list, conf_list = self._denoise_iters(
-                depth_cost_func, inv_depth, inv_depth_new, delta,
-                cur_hidden, context, t)
+            cur_hidden, inv_new, delta, inv_seq, conf_seq = self._run_iters(
+                inv_depth, inv_depth_new, delta, cur_hidden, context, t,
+                features, proj_pairs, depth_min, depth_max, view_weights)
 
             pred_noise = sched.predict_noise_from_start(img, t, delta)
             if time_next < 0:
@@ -158,14 +210,18 @@ class RefinementStage(nn.Module):
             noise = _noise_like(kn, inv_depth, sched.scale)
             img = delta * sqrt_an + c * pred_noise + sigma * noise
 
+        inv_list = [inv_seq[i] for i in range(self.iters)]
+        conf_list = [conf_seq[i] for i in range(self.iters)]
         return mask, cur_hidden, inv_list, conf_list
 
-    def __call__(self, depth_cost_func, inv_depth, hidden, context,
-                 gt_inv_depth=None, inv_init_depth=None, rng=None,
-                 train: bool = False):
+    def __call__(self, inv_depth, hidden, context, features, proj_pairs,
+                 depth_min, depth_max, view_weights, gt_inv_depth=None,
+                 inv_init_depth=None, rng=None, train: bool = False):
         if train:
-            return self.train_forward(depth_cost_func, inv_depth, hidden,
-                                      context, gt_inv_depth, inv_init_depth,
-                                      rng)
-        return self.eval_forward(depth_cost_func, inv_depth, hidden, context,
-                                 rng)
+            return self.train_forward(inv_depth, hidden, context,
+                                      gt_inv_depth, inv_init_depth, rng,
+                                      features, proj_pairs, depth_min,
+                                      depth_max, view_weights)
+        return self.eval_forward(inv_depth, hidden, context, rng, features,
+                                 proj_pairs, depth_min, depth_max,
+                                 view_weights)

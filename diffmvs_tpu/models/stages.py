@@ -99,7 +99,7 @@ class InitialStage(nn.Module):
 def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
                       depth_min, depth_max, cost_num, group_dim,
                       view_weights, confidence=None,
-                      min_radius=0.2, max_radius=2.0):
+                      min_radius=0.2, max_radius=2.0, use_confidence=None):
     """Per-iteration local cost volume around the current inverse depth.
 
     Parity: GetCost (module.py:575-667) — sample cost_num hypotheses
@@ -115,7 +115,7 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
     if cost_num > 1:
         samples = depth_range_samples(
             inv_depth, cost_num, depth_interval, confidence,
-            min_radius, max_radius)                    # [B,D,H,W]
+            min_radius, max_radius, use_confidence)    # [B,D,H,W]
     else:
         samples = inv_depth[:, None]
 

@@ -262,10 +262,11 @@ def _import_update_block(a: _Assigner, tkey: str, stage: int, cfg):
     """DiffusionUpdateBlockDepth (update.py:299-390). The schedule buffers
     (betas, alphas_cumprod, ...) are recomputed constants here — skipped."""
     path = (f"update_block{stage}",)
+    # encoder/unet live inside the nn.scan iteration cell ("cell" scope)
     for name in ("convc1", "convc2", "convd1", "convd2", "output"):
-        a.conv2d(f"{tkey}.encoder.{name}", *path, "encoder", name)
+        a.conv2d(f"{tkey}.encoder.{name}", *path, "cell", "encoder", name)
     _import_mask_head(a, f"{tkey}.mask", *path, "mask")
-    _import_unet(a, f"{tkey}.unet", path + ("unet",),
+    _import_unet(a, f"{tkey}.unet", path + ("cell", "unet"),
                  cfg.unet_dim[stage], cfg.hidden_dim[stage],
                  cfg.unet_dim_mults[stage])
     for buf in ("betas", "alphas_cumprod", "alphas_cumprod_prev",
