@@ -58,6 +58,10 @@ class ModelConfig:
     # soft-argmax and the diffusion state always stay float32.
     compute_dtype: str = "float32"
 
+    # rematerialize refinement iterations in the backward pass (trades
+    # recompute for activation memory — jax.checkpoint per scan step)
+    remat: bool = False
+
     @property
     def is_cascade(self) -> bool:
         """CasDiffMVS iff stage 2 runs refinement iterations."""

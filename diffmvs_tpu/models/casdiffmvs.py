@@ -93,6 +93,7 @@ class CasDiffMVS(nn.Module):
                     scale=cfg.scale[s]),
                 min_radius=cfg.min_radius,
                 max_radius=cfg.max_radius,
+                remat=cfg.remat,
                 dtype=dt,
                 name=f"update_block{s}"))
         self.hidden_inits = hidden_inits

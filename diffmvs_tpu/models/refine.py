@@ -108,11 +108,18 @@ class RefinementStage(nn.Module):
     schedule: DiffusionSchedule
     min_radius: float = 0.2
     max_radius: float = 2.0
+    remat: bool = False
     dtype: Optional[Any] = None
 
     def setup(self):
+        cell_cls = RefineIteration
+        if self.remat:
+            # rematerialize each iteration in the backward pass: activation
+            # memory per stage drops from O(iters) to O(1) volumes
+            cell_cls = nn.remat(RefineIteration,
+                                prevent_cse=False)
         scan = nn.scan(
-            RefineIteration,
+            cell_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,
