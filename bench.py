@@ -55,20 +55,24 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), imgs, projs, depth_values,
                            rng=None, train=False, export=True)
 
-    def one(rng):
-        out = model.apply(variables, imgs, projs, depth_values, rng=rng,
-                          train=False, export=True)
-        return out["depth"][-1].mean()
-
     @jax.jit
-    def chained(key, n_arr):
+    def chained(key, n_arr, imgs, projs, depth_values):
+        # inputs are arguments (NOT closure constants — the remote-compile
+        # path rejects giant constant-laden HLO uploads)
         def body(acc, i):
-            return acc + one(jax.random.fold_in(key, i)), None
+            out = model.apply(variables, imgs, projs, depth_values,
+                              rng=jax.random.fold_in(key, i),
+                              train=False, export=True)
+            return acc + out["depth"][-1].mean(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), n_arr)
         return acc
 
     key = jax.random.PRNGKey(0)
     n_arr = jnp.arange(reps)
+    import jax.numpy as _jnp
+    imgs = _jnp.asarray(imgs)
+    projs = jax.tree_util.tree_map(_jnp.asarray, projs)
+    depth_values = _jnp.asarray(depth_values)
 
     # fetch-floor measurement (tiny jitted program, same fetch pattern)
     tiny = jax.jit(lambda k: jax.random.uniform(k).sum())
@@ -78,9 +82,10 @@ def main():
         float(tiny(jax.random.fold_in(key, 1)))
     floor = (time.perf_counter() - t0) / 5
 
-    float(chained(key, n_arr))            # warmup / compile
+    float(chained(key, n_arr, imgs, projs, depth_values))   # warmup/compile
     t0 = time.perf_counter()
-    float(chained(jax.random.fold_in(key, 123), n_arr))
+    float(chained(jax.random.fold_in(key, 123), n_arr, imgs, projs,
+                  depth_values))
     elapsed = max(time.perf_counter() - t0 - floor, 1e-9) / reps
 
     value = 1.0 / elapsed
