@@ -43,7 +43,8 @@ def make_mesh(dp: int = -1, sp: int = 1, devices=None) -> Mesh:
     if dp == -1:
         assert n % sp == 0, f"{n} devices not divisible by sp={sp}"
         dp = n // sp
-    assert dp * sp == n, f"mesh {dp}x{sp} != {n} devices"
+    assert dp * sp <= n, f"mesh {dp}x{sp} needs more than {n} devices"
+    devices = devices[: dp * sp]
     arr = mesh_utils.create_device_mesh((dp, sp), devices=devices)
     return Mesh(arr, ("data", "space"))
 

@@ -102,8 +102,8 @@ def run_training(model, cfg, state, train_loader, val_loader, mesh,
         if epoch % cfg.eval_freq == 0 or epoch == total_epochs - 1:
             meter = DictAverageMeter()
             for batch_idx, batch in enumerate(val_loader):
-                scalars = eval_step(state, batch,
-                                    jax.random.fold_in(rng, -batch_idx - 1))
+                eval_rng = jax.random.fold_in(rng, 1_000_000 + batch_idx)
+                scalars = eval_step(state, batch, eval_rng)
                 meter.update(
                     {k: float(v) for k, v in jax.device_get(scalars).items()})
             means = meter.mean()
