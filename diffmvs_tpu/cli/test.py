@@ -55,7 +55,6 @@ def default_preset(method: str, dataset: str) -> str:
 def save_scene_depth(args, cfg, testlist):
     """Export depth maps for the scenes in `testlist`
     (test.py:92-205)."""
-    import dataclasses
 
     import jax
 

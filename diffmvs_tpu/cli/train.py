@@ -14,12 +14,9 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
 import os
-import time
 
 import jax
-import numpy as np
 
 from diffmvs_tpu.config import MODEL_PRESETS, ModelConfig, TrainConfig
 

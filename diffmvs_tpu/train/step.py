@@ -12,7 +12,6 @@ hand-written collectives in the step.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
