@@ -64,6 +64,8 @@ def save_scene_depth(args, cfg, testlist):
     from diffmvs_tpu.train.step import make_infer_fn
     from PIL import Image
 
+    from diffmvs_tpu.data.pipeline import DataPipeline
+
     model = CasDiffMVS(cfg)
     infer = make_infer_fn(model)
 
@@ -73,11 +75,26 @@ def save_scene_depth(args, cfg, testlist):
         ds = MVSDataset(args.testpath, args.num_view, args.numdepth,
                         dataset=args.dataset, scan=[scene],
                         max_h=args.max_h, max_w=args.max_w)
-        for idx in range(len(ds)):
-            sample = ds[idx]
-            imgs = sample["imgs"][None]
-            projs = {k: v[None] for k, v in sample["proj_matrices"].items()}
-            depth_values = sample["depth_values"][None]
+        # batch view-sets within a scene (all share one resolution);
+        # the tail batch is padded by repetition to keep one compiled shape
+        loader = DataPipeline(ds, args.batch_size, shuffle=False,
+                              drop_last=False)
+        for batch_idx, batch in enumerate(loader):
+            bsz = batch["imgs"].shape[0]
+            if bsz < args.batch_size:          # pad tail batch
+                pad = args.batch_size - bsz
+                batch = {
+                    k: (np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                        if isinstance(v, np.ndarray) else
+                        {kk: np.concatenate(
+                            [vv, np.repeat(vv[-1:], pad, 0)])
+                         for kk, vv in v.items()} if isinstance(v, dict)
+                        else v)
+                    for k, v in batch.items()
+                }
+            imgs = batch["imgs"]
+            projs = batch["proj_matrices"]
+            depth_values = batch["depth_values"]
 
             if variables is None:
                 if args.loadckpt and args.loadckpt.endswith(".ckpt"):
@@ -86,39 +103,43 @@ def save_scene_depth(args, cfg, testlist):
                     variables = load_torch_checkpoint(args.loadckpt, cfg)
                 else:
                     variables = model.init(
-                        jax.random.PRNGKey(0), imgs, projs, depth_values,
-                        rng=None, train=False, export=True)
+                        jax.random.PRNGKey(0), imgs[:1],
+                        {k: v[:1] for k, v in projs.items()},
+                        depth_values[:1], rng=None, train=False,
+                        export=True)
                     if args.loadckpt:
                         raise NotImplementedError(
                             "orbax eval restore: use cli.train --resume")
 
-            rng = jax.random.PRNGKey(args.seed + idx)
+            rng = jax.random.PRNGKey(args.seed + batch_idx)
             t0 = time.time()
             depth, confs = infer(variables, imgs, projs, depth_values, rng)
             depth = np.asarray(depth)
+            confs = [np.asarray(c) for c in confs]
             elapsed = time.time() - t0
-            times.append(elapsed)
-            print(f"Iter {idx}/{len(ds)}, Time:{elapsed:.3f} "
+            times.append(elapsed / bsz)
+            print(f"Iter {batch_idx}/{len(loader)}, Time:{elapsed:.3f} "
                   f"Res:{imgs.shape}")
 
-            filename = sample["filename"]
-            depth_max = 1.0 / sample["depth_values"][0]
-            depth_min = 1.0 / sample["depth_values"][-1]
-            cam = sample["proj_matrices"]["stage4"][0]
+            for j in range(bsz):
+                filename = batch["filename"][j]
+                depth_max = 1.0 / depth_values[j, 0]
+                depth_min = 1.0 / depth_values[j, -1]
+                cam = projs["stage4"][j, 0]
 
-            def outpath(sub, ext):
-                path = os.path.join(args.outdir, filename.format(sub, ext))
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                return path
+                def outpath(sub, ext, _f=filename):
+                    path = os.path.join(args.outdir, _f.format(sub, ext))
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    return path
 
-            save_pfm(outpath("depth_est", ".pfm"), depth[0])
-            write_cam(outpath("cams", "_cam.txt"), cam, depth_max, depth_min)
-            img8 = np.clip(sample["imgs"][0] * 255, 0, 255).astype(np.uint8)
-            Image.fromarray(img8).save(outpath("images", ".jpg"))
-            n_conf = 3 if args.method == "casdiffmvs" else 2
-            for i in range(n_conf):
-                save_pfm(outpath(f"conf{i}", ".pfm"),
-                         np.asarray(confs[i][0]))
+                save_pfm(outpath("depth_est", ".pfm"), depth[j])
+                write_cam(outpath("cams", "_cam.txt"), cam, depth_max,
+                          depth_min)
+                img8 = np.clip(imgs[j, 0] * 255, 0, 255).astype(np.uint8)
+                Image.fromarray(img8).save(outpath("images", ".jpg"))
+                n_conf = 3 if args.method == "casdiffmvs" else 2
+                for i in range(n_conf):
+                    save_pfm(outpath(f"conf{i}", ".pfm"), confs[i][j])
     if times:
         print("avg_time", float(np.mean(times)))
 

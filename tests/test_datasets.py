@@ -110,6 +110,70 @@ def test_blend_dataset(tmp_path):
     assert b["depth"]["stage2"].shape == (2, h // 4, w // 4)
 
 
+def test_dtu_train_dataset(tmp_path):
+    from diffmvs_tpu.data.dtu import MVSDataset
+
+    root = tmp_path
+    scan = "scan1"
+    os.makedirs(root / "Cameras" / "train")
+    os.makedirs(root / f"Rectified/{scan}_train")
+    os.makedirs(root / f"Depths_raw/{scan}")
+
+    # DTU preprocessed layout: 1600x1200 raw depth, 640x512 images
+    with open(root / "Cameras" / "pair.txt", "w") as f:
+        f.write("3\n0\n2 1 10.0 2 5.0\n1\n2 0 10.0 2 5.0\n"
+                "2\n2 0 10.0 1 5.0\n")
+    k = _k()
+    for vid in range(3):
+        e = np.eye(4, dtype=np.float32)
+        e[0, 3] = 0.2 * vid
+        # cam file: depth line "min interval"
+        with open(root / "Cameras" / "train" / f"{vid:08d}_cam.txt",
+                  "w") as f:
+            f.write("extrinsic\n")
+            for r in range(4):
+                f.write(" ".join(str(e[r, c]) for c in range(4)) + "\n")
+            f.write("\nintrinsic\n")
+            for r in range(3):
+                f.write(" ".join(str(k[r, c]) for c in range(3)) + "\n")
+            f.write("\n425.0 2.5\n")
+        for light in range(7):
+            img = (np.random.rand(512, 640, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                root / f"Rectified/{scan}_train" /
+                f"rect_{vid + 1:0>3}_{light}_r5000.png")
+        depth_hr = np.full((1200, 1600), 600.0, np.float32)
+        save_pfm(str(root / f"Depths_raw/{scan}" /
+                     f"depth_map_{vid:0>4}.pfm"), depth_hr)
+        vis = np.full((1200, 1600), 255, np.uint8)
+        Image.fromarray(vis).save(
+            root / f"Depths_raw/{scan}" / f"depth_visual_{vid:0>4}.png")
+
+    listfile = root / "train.txt"
+    listfile.write_text(scan + "\n")
+    ds = MVSDataset(str(root), str(listfile), "train", nviews=3, ndepths=192)
+    assert len(ds) == 3 * 7          # 7 light conditions per view
+    s = ds[0]
+    assert s["imgs"].shape == (3, 512, 640, 3)
+    assert s["depth"]["stage4"].shape == (512, 640)
+    assert s["depth"]["stage1"].shape == (64, 80)
+    # depth_max = min + interval*scale*ndepths; interval_scale=1.06
+    # -> 425 + 2.5*1.06*192 = 933.8
+    dv = s["depth_values"]
+    assert dv[0] == pytest.approx(1 / 933.8, rel=1e-4)
+    assert dv[-1] == pytest.approx(1 / 425.0, rel=1e-5)
+    # GT=600 within range => mask on (away from crop borders)
+    assert s["mask"]["stage4"].mean() == 1.0
+    # stage1 intrinsics = 0.5 x file intrinsics (file is 1/4-res)
+    np.testing.assert_allclose(s["proj_matrices"]["stage1"][0, 1, 0, 0],
+                               k[0, 0] * 0.5)
+    np.testing.assert_allclose(s["proj_matrices"]["stage4"][0, 1, 0, 0],
+                               k[0, 0] * 4.0)
+    # train mode samples random sources
+    s2 = ds[7]
+    assert s2["imgs"].shape == (3, 512, 640, 3)
+
+
 def test_scene_lists(tmp_path):
     from diffmvs_tpu.data.scene_lists import ALL_LISTS, write_lists
 
