@@ -50,6 +50,37 @@ def test_shard_batch_layouts(rng):
     assert dv.sharding.shard_shape(dv.shape) == (1, 32)
 
 
+def test_spatial_sharded_inference_matches(rng):
+    """Export forward with width sharded over 'space' (+ batch over 'data')
+    == unsharded forward: the large-image scaling path."""
+    cfg = _tiny_cfg()
+    model = CasDiffMVS(cfg)
+    batch = make_batch(rng, 2, 3, 64, 128, numdepth=32)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], rng=None, train=False, export=True)
+
+    fwd = jax.jit(lambda v, b: model.apply(
+        v, b["imgs"], b["proj_matrices"], b["depth_values"],
+        rng=None, train=False, export=True))
+
+    ref = fwd(variables, batch)
+
+    mesh = make_mesh(2, 4)
+    batch_s = shard_batch(mesh, batch)
+    variables_s = replicate(mesh, variables)
+    out = fwd(variables_s, batch_s)
+
+    np.testing.assert_allclose(np.asarray(out["depth"][-1]),
+                               np.asarray(ref["depth"][-1]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["photometric_confidence"][0]),
+        np.asarray(ref["photometric_confidence"][0]),
+        rtol=2e-3, atol=2e-3)
+
+
 def test_dp_sp_train_step_matches_single_device(rng):
     """One dp x sp sharded step == the same step unsharded (same math,
     sync-BN over the global batch in both cases)."""
