@@ -79,8 +79,9 @@ def pack_corners(src):
     naive path).
 
     Layout note: channels-major with the flattened spatial axis LAST — the
-    gather runs along the minor (lane) axis, which XLA's TPU backend
-    executes ~1.5x faster than row gathers at MVS scales (measured).
+    gather runs along the minor (lane) axis (~1.5x faster than row gathers
+    in isolation; end-to-end neutral once XLA fuses the lerp consumers, but
+    this layout is the one the planned Pallas kernel needs).
     """
     b, hs, ws, c = src.shape
     pad = jnp.pad(src, ((0, 0), (1, 1), (1, 1), (0, 0)))
