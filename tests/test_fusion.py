@@ -62,6 +62,44 @@ def test_reproject_rejects_wrong_depth():
     assert np.asarray(mask).mean() < 0.1
 
 
+def test_filter_depth_dynamic_end_to_end(tmp_path):
+    """D2HC dynamic fusion on the synthetic plane scene -> plane cloud."""
+    from diffmvs_tpu.data.io import save_pfm, write_cam
+    from diffmvs_tpu.fusion.fuse import filter_depth_dynamic
+    from diffmvs_tpu.fusion.ply import read_ply
+    from PIL import Image
+
+    h, w = 48, 64
+    out = tmp_path / "scene"
+    for sub in ("cams", "depth_est", "images", "conf0", "conf1", "conf2"):
+        os.makedirs(out / sub, exist_ok=True)
+    for i in range(3):
+        k, e = _cam(0.3 * i, w=w, h=h)
+        d = _plane_depth(k, e, h, w)
+        cam = np.zeros((2, 4, 4), np.float32)
+        cam[0] = e
+        cam[1, :3, :3] = k
+        write_cam(str(out / "cams" / f"{i:08d}_cam.txt"), cam, 10.0, 2.0)
+        save_pfm(str(out / "depth_est" / f"{i:08d}.pfm"), d)
+        Image.fromarray((np.ones((h, w, 3)) * 128).astype(np.uint8)).save(
+            out / "images" / f"{i:08d}.jpg")
+        for c in range(3):
+            save_pfm(str(out / f"conf{c}" / f"{i:08d}.pfm"),
+                     np.ones((h, w), np.float32))
+    with open(out / "pair.txt", "w") as f:
+        f.write("3\n0\n2 1 100.0 2 50.0\n1\n2 0 100.0 2 50.0\n"
+                "2\n2 0 100.0 1 50.0\n")
+
+    ply = str(out / "pc_dyn.ply")
+    # Horse's table: dh_view_num=2, dist/4, rel/1300
+    filter_depth_dynamic("Horse", str(out), str(out), ply,
+                         photo_thres=(0.3, 0.3, 0.3), method="casdiffmvs",
+                         src_bucket=2)
+    xyz, _ = read_ply(ply)
+    assert xyz.shape[0] > 0
+    np.testing.assert_allclose(xyz[:, 2], 6.0, atol=1e-2)
+
+
 def test_filter_depth_end_to_end(tmp_path):
     """Full fusion over a 3-view synthetic scene -> a dense plane cloud."""
     from diffmvs_tpu.data.io import save_pfm, write_cam
