@@ -35,7 +35,9 @@ from diffmvs_tpu.geometry.warp import plane_sweep_coords
 from diffmvs_tpu.geometry.transforms import relative_projection
 
 TILE = 64          # output pixels per grid step (lanes 0..63)
-WIN_W = 128        # source window width (lane-gather limit)
+WIN_W = 256        # source window width (two 128-lane gather halves);
+                   # the window base is 128-aligned (DMA lane-offset rule)
+GATHER_W = 128     # Mosaic lane-gather width limit
 WIN_K = 16         # source window rows
 
 
@@ -46,11 +48,11 @@ def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [H, T]
                  win_ref, sem):              # scratch VMEM + DMA sem
     h = pl.program_id(0)
     t = pl.program_id(1)
-    d_total, _, c, _ = out_ref.shape
+    _, d_total, c, _ = out_ref.shape
     kc = win_ref.shape[0]
     k = kc // c
 
-    bxv = bx_ref[h, t]
+    bxv = pl.multiple_of(bx_ref[h, t], GATHER_W)   # 128-aligned by build
     byv = by_ref[h, t]
 
     copy = pltpu.make_async_copy(
@@ -63,11 +65,11 @@ def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [H, T]
 
     for d in range(d_total):
         # local integer corners + fractions for this depth's tile ([1,TILE])
-        xi = xi_ref[d]                                     # [1, TILE] int32
-        yi = yi_ref[d]
-        fx = fx_ref[d]
-        fy = fy_ref[d]
-        valid_in = vmask_ref[d] != 0
+        xi = xi_ref[:, d, :]                               # [1, TILE] int32
+        yi = yi_ref[:, d, :]
+        fx = fx_ref[:, d, :]
+        fy = fy_ref[:, d, :]
+        valid_in = vmask_ref[:, d, :] != 0
 
         lx = xi - bxv
         ly = yi - byv
@@ -78,17 +80,24 @@ def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [H, T]
         lxc = jnp.clip(lx, 0, WIN_W - 2)
         lyc = jnp.clip(ly, 0, k - 2)
 
-        # both x-corners in one lane-gather: lanes [0,TILE) -> x0,
-        # lanes [TILE, 2*TILE) -> x0+1 of pixel (lane - TILE)
-        lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)      # [1, WIN_W]
-        idx = jnp.broadcast_to(lx2, (kc, WIN_W))
-        g = jnp.take_along_axis(window, idx, axis=1)       # [K*C, WIN_W]
-        g = g.reshape(k, c, WIN_W)
+        # both x-corners in one gather pass: lanes [0,TILE) -> x0,
+        # lanes [TILE, 2*TILE) -> x0+1 of pixel (lane - TILE). The window is
+        # 256 wide but lane-gathers are 128-wide, so gather each half and
+        # select.
+        lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)      # [1, GATHER_W]
+        idx = jnp.broadcast_to(lx2, (kc, GATHER_W))
+        g_lo = jnp.take_along_axis(
+            window[:, :GATHER_W], jnp.clip(idx, 0, GATHER_W - 1), axis=1)
+        g_hi = jnp.take_along_axis(
+            window[:, GATHER_W:], jnp.clip(idx - GATHER_W, 0,
+                                           GATHER_W - 1), axis=1)
+        g = jnp.where(idx < GATHER_W, g_lo, g_hi)          # [K*C, GATHER_W]
+        g = g.reshape(k, c, GATHER_W)
 
         # y-interp: rows lyc and lyc+1 weighted (1-fy, fy); per-lane row ids
         ly2 = jnp.concatenate([lyc, lyc], axis=1)          # [1, WIN_W]
         fy2 = jnp.concatenate([fy, fy], axis=1)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1, WIN_W), 0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1, GATHER_W), 0)
         wk = (jnp.where(row_ids == ly2[None], 1.0 - fy2[None], 0.0)
               + jnp.where(row_ids == ly2[None] + 1, fy2[None], 0.0))
         s = jnp.sum(g * wk.astype(g.dtype), axis=0)        # [C, WIN_W]
@@ -98,7 +107,7 @@ def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [H, T]
         right = s[:, TILE:]
         outv = left + (right - left) * fx.astype(s.dtype)
         outv = outv * valid.astype(s.dtype)
-        out_ref[d, 0, :, :] = outv
+        out_ref[0, d, :, :] = outv
 
 
 def _pad_to(x, size, axis, value=0):
@@ -157,7 +166,13 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     yi_t = jnp.where(valid_p, yi_p, big).reshape(d, h, t_tiles, TILE)
     ws2 = ws + 2
     hs2 = hs + 2
-    bx = jnp.clip(jnp.min(xi_t, axis=(0, 3)), 0, max(ws2 - WIN_W, 0))
+    # lane dimension of the source padded to a 128 multiple >= WIN_W so an
+    # aligned window always fits
+    ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, WIN_W)
+    bx = jnp.clip(jnp.min(xi_t, axis=(0, 3)), 0, ws_pad - WIN_W)
+    # DMA lane offsets must be 128-aligned: align the base down (the extra
+    # 128 window columns guarantee coverage of the tile's span)
+    bx = (bx // GATHER_W) * GATHER_W
     by = jnp.clip(jnp.min(yi_t, axis=(0, 3)), 0, max(hs2 - WIN_K, 0))
     bx = bx.astype(jnp.int32)
     by = by.astype(jnp.int32)
@@ -165,37 +180,39 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     # channel-interleaved padded source rows: src_t[y*C + c, x]
     src_p = jnp.pad(src_fea[0], ((1, 1), (1, 1), (0, 0)))
     src_t = src_p.transpose(0, 2, 1).reshape(hs2 * c, ws2)
-    if ws2 < WIN_W:
-        src_t = _pad_to(src_t, WIN_W, axis=1)
+    src_t = _pad_to(src_t, ws_pad, axis=1)
 
-    # reshape per-tile inputs to [D, H*T, TILE] for block mapping
+    # reshape per-tile inputs to [H*T, D, TILE] for block mapping (the
+    # grid-mapped axis leads so the last two block dims stay full-size,
+    # as Mosaic requires)
     def tile_view(a, dtype):
-        return a.reshape(d, h * t_tiles, TILE).astype(dtype)
+        return a.reshape(d, h * t_tiles, TILE).transpose(1, 0, 2) \
+            .astype(dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(h, t_tiles),
         in_specs=[
-            pl.BlockSpec((d, 1, TILE), lambda hh, tt, bx_r, by_r:
-                         (0, hh * t_tiles + tt, 0),
+            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
+                         (hh * t_tiles + tt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1, TILE), lambda hh, tt, bx_r, by_r:
-                         (0, hh * t_tiles + tt, 0),
+            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
+                         (hh * t_tiles + tt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1, TILE), lambda hh, tt, bx_r, by_r:
-                         (0, hh * t_tiles + tt, 0),
+            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
+                         (hh * t_tiles + tt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1, TILE), lambda hh, tt, bx_r, by_r:
-                         (0, hh * t_tiles + tt, 0),
+            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
+                         (hh * t_tiles + tt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1, TILE), lambda hh, tt, bx_r, by_r:
-                         (0, hh * t_tiles + tt, 0),
+            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
+                         (hh * t_tiles + tt, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (d, 1, c, TILE),
-            lambda hh, tt, bx_r, by_r: (0, hh * t_tiles + tt, 0, 0),
+            (1, d, c, TILE),
+            lambda hh, tt, bx_r, by_r: (hh * t_tiles + tt, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((WIN_K * c, WIN_W), src_t.dtype),
@@ -206,7 +223,7 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     out = pl.pallas_call(
         _warp_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d, h * t_tiles, c, TILE),
+        out_shape=jax.ShapeDtypeStruct((h * t_tiles, d, c, TILE),
                                        src_t.dtype),
         interpret=interpret,
     )(bx, by,
@@ -215,8 +232,8 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
       tile_view(valid_p, jnp.int32) != 0,
       src_t)
 
-    # [D, H*T, C, TILE] -> [1, D, H, W, C]
-    out = out.reshape(d, h, t_tiles, c, TILE).transpose(0, 1, 2, 4, 3)
+    # [H*T, D, C, TILE] -> [1, D, H, W, C]
+    out = out.reshape(h, t_tiles, d, c, TILE).transpose(2, 0, 1, 4, 3)
     out = out.reshape(d, h, w_pad, c)[:, :, :w]
     return out[None]
 
