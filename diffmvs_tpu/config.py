@@ -62,6 +62,14 @@ class ModelConfig:
     # recompute for activation memory — jax.checkpoint per scan step)
     remat: bool = False
 
+    # plane-sweep warp backend for the REFINEMENT stages:
+    #   "xla"    — corner-packed jnp.take gather (default, fully general)
+    #   "pallas" — banded Pallas kernel (~1.5x faster on TPU; assumes
+    #              locally-banded sampling windows — exact for refinement
+    #              hypotheses on DTU-like rigs, see
+    #              ops/pallas/warp_refine.window_miss_fraction)
+    warp_kernel: str = "xla"
+
     @property
     def is_cascade(self) -> bool:
         """CasDiffMVS iff stage 2 runs refinement iterations."""

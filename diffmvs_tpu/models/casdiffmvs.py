@@ -94,6 +94,7 @@ class CasDiffMVS(nn.Module):
                 min_radius=cfg.min_radius,
                 max_radius=cfg.max_radius,
                 remat=cfg.remat,
+                warp_kernel=cfg.warp_kernel,
                 dtype=dt,
                 name=f"update_block{s}"))
         self.hidden_inits = hidden_inits

@@ -51,6 +51,7 @@ class RefineIteration(nn.Module):
     depth_interval: float
     min_radius: float
     max_radius: float
+    warp_kernel: str = "xla"
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -75,7 +76,7 @@ class RefineIteration(nn.Module):
             depth_min, depth_max, self.cost_num, self.group_dim,
             view_weights, confidence=confidence,
             min_radius=self.min_radius, max_radius=self.max_radius,
-            use_confidence=has_conf)
+            use_confidence=has_conf, warp_kernel=self.warp_kernel)
         input_features = self.encoder(
             inv_new[..., None], samples.transpose(0, 2, 3, 1), cost)
         input_unet = jnp.concatenate([context, input_features], axis=-1)
@@ -109,6 +110,7 @@ class RefinementStage(nn.Module):
     min_radius: float = 0.2
     max_radius: float = 2.0
     remat: bool = False
+    warp_kernel: str = "xla"
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -132,6 +134,7 @@ class RefinementStage(nn.Module):
             cost_num=self.num_sample, group_dim=self.group_dim,
             depth_interval=self.depth_interval,
             min_radius=self.min_radius, max_radius=self.max_radius,
+            warp_kernel=self.warp_kernel,
             dtype=self.dtype, name="cell")
         self.mask = UpsampleMaskHead(self.up_ratio, dtype=self.dtype,
                                      name="mask")

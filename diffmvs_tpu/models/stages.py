@@ -99,7 +99,8 @@ class InitialStage(nn.Module):
 def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
                       depth_min, depth_max, cost_num, group_dim,
                       view_weights, confidence=None,
-                      min_radius=0.2, max_radius=2.0, use_confidence=None):
+                      min_radius=0.2, max_radius=2.0, use_confidence=None,
+                      warp_kernel: str = "xla"):
     """Per-iteration local cost volume around the current inverse depth.
 
     Parity: GetCost (module.py:575-667) — sample cost_num hypotheses
@@ -126,9 +127,24 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
     ref_fea = features[0]
     cor_list = []
     for i, src_fea in enumerate(features[1:]):
-        cor_list.append(warp_and_correlate(
-            src_fea, ref_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
-            depth_hyp, group_dim))
+        if warp_kernel == "pallas":
+            # banded Pallas kernel (refinement hypotheses are local);
+            # per-sample calls — batch is a static shape
+            from diffmvs_tpu.ops.pallas.warp_refine import warp_refine_pallas
+            from diffmvs_tpu.ops.correlation import group_correlation
+
+            warped = jnp.concatenate([
+                warp_refine_pallas(
+                    src_fea[j:j + 1], proj_pairs[j:j + 1, i + 1],
+                    proj_pairs[j:j + 1, 0], depth_hyp[j:j + 1])
+                for j in range(src_fea.shape[0])
+            ])
+            cor_list.append(group_correlation(
+                warped.astype(ref_fea.dtype), ref_fea, group_dim))
+        else:
+            cor_list.append(warp_and_correlate(
+                src_fea, ref_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
+                depth_hyp, group_dim))
     agg = aggregate_views(jnp.stack(cor_list), view_weights)  # [B,D,H,W,G]
 
     b, d, h, w, g = agg.shape

@@ -3,28 +3,33 @@
 Replaces the XLA row-gather in local cost volumes (the profiled hot path:
 stage-3 warps are ~40% of the CasDiffMVS forward; XLA's TPU gather is
 row-count-bound at ~63M rows/s). Refinement hypotheses are spatially local
-— for a 64-px output tile, all D (4-6) hypotheses' bilinear corners fit a
-[K source rows x 128 source cols] window — so each grid step:
+— for a ROWS x 64-px output block, all D (4-6) hypotheses' bilinear corners
+fit a [WIN_K source rows x 256 source cols] window — so each grid step:
 
   1. DMAs one window (contiguous row-block of the channel-interleaved
-     padded source) into VMEM via a scalar-prefetched base;
-  2. gathers BOTH x-corners of all K*C window rows with a single
-     take_along_axis lane-gather (left corners on lanes 0..63, right
-     corners on lanes 64..127);
-  3. y-interpolates with a K-way masked sum, x-interpolates with a
-     lane roll, masks invalid samples to zero (matching the XLA path's
-     zero-padding semantics), and writes the warped [D, C, 64] tile.
+     padded source; 128-aligned lane base) into VMEM via scalar-prefetched
+     bases;
+  2. per (depth, row) gathers BOTH x-corners of all WIN_K*C window rows
+     with take_along_axis lane-gathers (left corners on lanes 0..63, right
+     corners on lanes 64..127; the 256-wide window is gathered as two
+     128-lane halves);
+  3. y-interpolates with a WIN_K-way masked sum, x-interpolates across the
+     lane halves, masks invalid samples to zero (matching the XLA path's
+     zero-padding semantics), and writes the warped [D, ROWS, C, 64] block.
 
 Pixels whose corners fall outside the window (extreme perspective stretch)
 are zeroed; `window_miss_fraction` measures this — callers should fall back
 to the XLA path when it is non-negligible for their geometry (DTU-style
 rigs measure 0).
+
+Measured (v5e, stage-3 shape D=4 H=576 W=800 C=16, f32): 1-row/step version
+20.6 ms vs 36.2 ms XLA row-gather; this ROWS=8 version amortizes the
+per-step overhead further. bf16 sources are upcast to f32 (Mosaic
+dynamic_gather is 32-bit only); the kernel is not bandwidth-bound so this
+costs little.
 """
 
 from __future__ import annotations
-
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,26 +39,27 @@ from jax.experimental.pallas import tpu as pltpu
 from diffmvs_tpu.geometry.warp import plane_sweep_coords
 from diffmvs_tpu.geometry.transforms import relative_projection
 
-TILE = 64          # output pixels per grid step (lanes 0..63)
+TILE = 64          # output pixels per tile (lanes 0..63)
+ROWS = 8           # output rows per grid step
 WIN_W = 256        # source window width (two 128-lane gather halves);
                    # the window base is 128-aligned (DMA lane-offset rule)
 GATHER_W = 128     # Mosaic lane-gather width limit
-WIN_K = 16         # source window rows
+WIN_K = 24         # source window rows (covers ROWS output rows + spread)
 
 
-def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [H, T]
-                 xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,  # [D,1,TILE]
-                 src_hbm,                    # ANY [(Hs+2)*C, Ws+2]
-                 out_ref,                    # [D, 1, C, TILE]
+def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [HB, T]
+                 xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,
+                 src_hbm,                    # ANY [(Hs+2)*C, ws_pad]
+                 out_ref,                    # [1, D, ROWS, C, TILE]
                  win_ref, sem):              # scratch VMEM + DMA sem
-    h = pl.program_id(0)
+    hb = pl.program_id(0)
     t = pl.program_id(1)
-    _, d_total, c, _ = out_ref.shape
+    _, d_total, rows, c, _ = out_ref.shape
     kc = win_ref.shape[0]
     k = kc // c
 
-    bxv = pl.multiple_of(bx_ref[h, t], GATHER_W)   # 128-aligned by build
-    byv = by_ref[h, t]
+    bxv = pl.multiple_of(bx_ref[hb, t], GATHER_W)   # 128-aligned by build
+    byv = by_ref[hb, t]
 
     copy = pltpu.make_async_copy(
         src_hbm.at[pl.ds(byv * c, kc), pl.ds(bxv, WIN_W)],
@@ -62,52 +68,51 @@ def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [H, T]
     copy.wait()
 
     window = win_ref[:]                                   # [K*C, WIN_W]
+    win_lo = window[:, :GATHER_W]
+    win_hi = window[:, GATHER_W:]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1, GATHER_W), 0)
 
     for d in range(d_total):
-        # local integer corners + fractions for this depth's tile ([1,TILE])
-        xi = xi_ref[:, d, :]                               # [1, TILE] int32
-        yi = yi_ref[:, d, :]
-        fx = fx_ref[:, d, :]
-        fy = fy_ref[:, d, :]
-        valid_in = vmask_ref[:, d, :] != 0
+        for r in range(rows):
+            xi = xi_ref[:, d, r, :]                        # [1, TILE] int32
+            yi = yi_ref[:, d, r, :]
+            fx = fx_ref[:, d, r, :]
+            fy = fy_ref[:, d, r, :]
+            valid_in = vmask_ref[:, d, r, :] != 0
 
-        lx = xi - bxv
-        ly = yi - byv
-        in_win = ((lx >= 0) & (lx <= WIN_W - 2)
-                  & (ly >= 0) & (ly <= k - 2))
-        valid = (valid_in & in_win)
+            lx = xi - bxv
+            ly = yi - byv
+            in_win = ((lx >= 0) & (lx <= WIN_W - 2)
+                      & (ly >= 0) & (ly <= k - 2))
+            valid = (valid_in & in_win)
 
-        lxc = jnp.clip(lx, 0, WIN_W - 2)
-        lyc = jnp.clip(ly, 0, k - 2)
+            lxc = jnp.clip(lx, 0, WIN_W - 2)
+            lyc = jnp.clip(ly, 0, k - 2)
 
-        # both x-corners in one gather pass: lanes [0,TILE) -> x0,
-        # lanes [TILE, 2*TILE) -> x0+1 of pixel (lane - TILE). The window is
-        # 256 wide but lane-gathers are 128-wide, so gather each half and
-        # select.
-        lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)      # [1, GATHER_W]
-        idx = jnp.broadcast_to(lx2, (kc, GATHER_W))
-        g_lo = jnp.take_along_axis(
-            window[:, :GATHER_W], jnp.clip(idx, 0, GATHER_W - 1), axis=1)
-        g_hi = jnp.take_along_axis(
-            window[:, GATHER_W:], jnp.clip(idx - GATHER_W, 0,
-                                           GATHER_W - 1), axis=1)
-        g = jnp.where(idx < GATHER_W, g_lo, g_hi)          # [K*C, GATHER_W]
-        g = g.reshape(k, c, GATHER_W)
+            # both x-corners in one gather pass: lanes [0,TILE) -> x0,
+            # lanes [TILE,2*TILE) -> x0+1 of pixel (lane - TILE)
+            lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)  # [1, GATHER_W]
+            idx = jnp.broadcast_to(lx2, (kc, GATHER_W))
+            g_lo = jnp.take_along_axis(
+                win_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
+            g_hi = jnp.take_along_axis(
+                win_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1), axis=1)
+            g = jnp.where(idx < GATHER_W, g_lo, g_hi)
+            g = g.reshape(k, c, GATHER_W)
 
-        # y-interp: rows lyc and lyc+1 weighted (1-fy, fy); per-lane row ids
-        ly2 = jnp.concatenate([lyc, lyc], axis=1)          # [1, WIN_W]
-        fy2 = jnp.concatenate([fy, fy], axis=1)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1, GATHER_W), 0)
-        wk = (jnp.where(row_ids == ly2[None], 1.0 - fy2[None], 0.0)
-              + jnp.where(row_ids == ly2[None] + 1, fy2[None], 0.0))
-        s = jnp.sum(g * wk.astype(g.dtype), axis=0)        # [C, WIN_W]
+            # y-interp: rows lyc, lyc+1 weighted (1-fy, fy)
+            ly2 = jnp.concatenate([lyc, lyc], axis=1)      # [1, GATHER_W]
+            fy2 = jnp.concatenate([fy, fy], axis=1)
+            wk = (jnp.where(row_ids == ly2[None], 1.0 - fy2[None], 0.0)
+                  + jnp.where(row_ids == ly2[None] + 1, fy2[None], 0.0))
+            s = jnp.sum(g * wk.astype(g.dtype), axis=0)    # [C, GATHER_W]
 
-        # x-interp: left corners on lanes [0,TILE), right on [TILE,2*TILE)
-        left = s[:, :TILE]
-        right = s[:, TILE:]
-        outv = left + (right - left) * fx.astype(s.dtype)
-        outv = outv * valid.astype(s.dtype)
-        out_ref[0, d, :, :] = outv
+            # x-interp: left corners on lanes [0,TILE), right on the rest
+            left = s[:, :TILE]
+            right = s[:, TILE:]
+            outv = left + (right - left) * fx.astype(s.dtype)
+            outv = outv * valid.astype(s.dtype)
+            out_ref[0, d, r, :, :] = outv
 
 
 def _pad_to(x, size, axis, value=0):
@@ -124,12 +129,17 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     """Banded-kernel plane-sweep warp for refinement stages.
 
     src_fea: [1, Hs, Ws, C]; src_pair/ref_pair: [1, 2, 4, 4];
-    depth_values: [1, D, H, W]. Returns [1, D, H, W, C] (zero-padding
-    bilinear semantics; window misses also produce zeros).
+    depth_values: [1, D, H, W]. Returns [1, D, H, W, C] float32
+    (zero-padding bilinear semantics; window misses also produce zeros).
     """
     b, hs, ws, c = src_fea.shape
     assert b == 1, "kernel path is per-sample; vmap/batch outside"
     _, d, h, w = depth_values.shape
+
+    # the Pallas TPU lowering needs a TPU; fall back to the interpreter on
+    # CPU so the same model config runs everywhere (tests, dry runs)
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
 
     rot, trans = relative_projection(src_pair, ref_pair)
     x, y = plane_sweep_coords(rot, trans, depth_values)    # [1,D,H,W]
@@ -149,73 +159,69 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     xi = jnp.clip(xi, 0, ws)                                # [0, Ws]
     yi = jnp.clip(yi, 0, hs)
 
-    # pad W to tile multiple
+    # pad W to tile multiple and H to row-block multiple
     t_tiles = -(-w // TILE)
     w_pad = t_tiles * TILE
-    xi_p = _pad_to(xi, w_pad, axis=2)
-    yi_p = _pad_to(yi, w_pad, axis=2)
-    fx_p = _pad_to(fx, w_pad, axis=2)
-    fy_p = _pad_to(fy, w_pad, axis=2)
-    valid_p = _pad_to(valid, w_pad, axis=2, value=False)
+    hb = -(-h // ROWS)
+    h_pad = hb * ROWS
 
-    # window bases per (h, tile): min over all depths + the tile's VALID
-    # pixels (W-padding lanes carry a large sentinel so they don't drag the
-    # base), clipped so the window stays inside the padded source
+    def pad_hw(a, value=0):
+        return _pad_to(_pad_to(a, w_pad, axis=2, value=value),
+                       h_pad, axis=1, value=value)
+
+    xi_p = pad_hw(xi)
+    yi_p = pad_hw(yi)
+    fx_p = pad_hw(fx)
+    fy_p = pad_hw(fy)
+    valid_p = pad_hw(valid, value=False)
+
+    # window bases per (row-block, tile): min over depths + the block's
+    # VALID pixels (padding lanes carry a large sentinel), clipped so the
+    # window stays inside the padded source
     big = jnp.int32(10 ** 8)
-    xi_t = jnp.where(valid_p, xi_p, big).reshape(d, h, t_tiles, TILE)
-    yi_t = jnp.where(valid_p, yi_p, big).reshape(d, h, t_tiles, TILE)
+    xi_t = jnp.where(valid_p, xi_p, big).reshape(d, hb, ROWS, t_tiles, TILE)
+    yi_t = jnp.where(valid_p, yi_p, big).reshape(d, hb, ROWS, t_tiles, TILE)
     ws2 = ws + 2
     hs2 = hs + 2
-    # lane dimension of the source padded to a 128 multiple >= WIN_W so an
-    # aligned window always fits
     ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, WIN_W)
-    bx = jnp.clip(jnp.min(xi_t, axis=(0, 3)), 0, ws_pad - WIN_W)
+    bx = jnp.clip(jnp.min(xi_t, axis=(0, 2, 4)), 0, ws_pad - WIN_W)
     # DMA lane offsets must be 128-aligned: align the base down (the extra
-    # 128 window columns guarantee coverage of the tile's span)
+    # window columns guarantee coverage of the block's span)
     bx = (bx // GATHER_W) * GATHER_W
-    by = jnp.clip(jnp.min(yi_t, axis=(0, 3)), 0, max(hs2 - WIN_K, 0))
+    win_k = min(WIN_K, hs2)          # window cannot exceed the source
+    by = jnp.clip(jnp.min(yi_t, axis=(0, 2, 4)), 0, hs2 - win_k)
     bx = bx.astype(jnp.int32)
     by = by.astype(jnp.int32)
 
-    # channel-interleaved padded source rows: src_t[y*C + c, x]
-    src_p = jnp.pad(src_fea[0], ((1, 1), (1, 1), (0, 0)))
+    # channel-interleaved padded source rows: src_t[y*C + c, x]; f32 (the
+    # Mosaic lane-gather is 32-bit only)
+    src_p = jnp.pad(src_fea[0].astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
     src_t = src_p.transpose(0, 2, 1).reshape(hs2 * c, ws2)
     src_t = _pad_to(src_t, ws_pad, axis=1)
 
-    # reshape per-tile inputs to [H*T, D, TILE] for block mapping (the
-    # grid-mapped axis leads so the last two block dims stay full-size,
-    # as Mosaic requires)
+    # per-tile inputs as [HB*T, D, ROWS, TILE]: the grid-mapped axis leads
+    # so the last two block dims stay (8, 64)-shaped as Mosaic requires
     def tile_view(a, dtype):
-        return a.reshape(d, h * t_tiles, TILE).transpose(1, 0, 2) \
-            .astype(dtype)
+        return (a.reshape(d, hb, ROWS, t_tiles, TILE)
+                .transpose(1, 3, 0, 2, 4)
+                .reshape(hb * t_tiles, d, ROWS, TILE)
+                .astype(dtype))
 
+    spec = pl.BlockSpec((1, d, ROWS, TILE),
+                        lambda hh, tt, bx_r, by_r:
+                        (hh * t_tiles + tt, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(h, t_tiles),
-        in_specs=[
-            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
-                         (hh * t_tiles + tt, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
-                         (hh * t_tiles + tt, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
-                         (hh * t_tiles + tt, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
-                         (hh * t_tiles + tt, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, TILE), lambda hh, tt, bx_r, by_r:
-                         (hh * t_tiles + tt, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        grid=(hb, t_tiles),
+        in_specs=[spec, spec, spec, spec, spec,
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, d, c, TILE),
-            lambda hh, tt, bx_r, by_r: (hh * t_tiles + tt, 0, 0, 0),
+            (1, d, ROWS, c, TILE),
+            lambda hh, tt, bx_r, by_r: (hh * t_tiles + tt, 0, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((WIN_K * c, WIN_W), src_t.dtype),
+            pltpu.VMEM((win_k * c, WIN_W), src_t.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -223,7 +229,7 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     out = pl.pallas_call(
         _warp_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((h * t_tiles, d, c, TILE),
+        out_shape=jax.ShapeDtypeStruct((hb * t_tiles, d, ROWS, c, TILE),
                                        src_t.dtype),
         interpret=interpret,
     )(bx, by,
@@ -232,16 +238,17 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
       tile_view(valid_p, jnp.int32) != 0,
       src_t)
 
-    # [H*T, D, C, TILE] -> [1, D, H, W, C]
-    out = out.reshape(h, t_tiles, d, c, TILE).transpose(2, 0, 1, 4, 3)
-    out = out.reshape(d, h, w_pad, c)[:, :, :w]
+    # [HB*T, D, ROWS, C, TILE] -> [1, D, H, W, C]
+    out = out.reshape(hb, t_tiles, d, ROWS, c, TILE)
+    out = out.transpose(2, 0, 3, 1, 5, 4)       # [D, HB, ROWS, T, TILE, C]
+    out = out.reshape(d, h_pad, w_pad, c)[:, :h, :w]
     return out[None]
 
 
 def window_miss_fraction(src_fea, src_pair, ref_pair, depth_values):
-    """Fraction of valid samples whose corners fall outside the [WIN_K,
-    WIN_W] window — the kernel zeroes those; callers should fall back to
-    the XLA path when this is non-negligible."""
+    """Fraction of valid samples whose corners fall outside the kernel's
+    window — the kernel zeroes those; callers should fall back to the XLA
+    path when this is non-negligible (DTU-style rigs measure 0)."""
     b, hs, ws, _ = src_fea.shape
     _, d, h, w = depth_values.shape
     rot, trans = relative_projection(src_pair, ref_pair)
@@ -253,16 +260,28 @@ def window_miss_fraction(src_fea, src_pair, ref_pair, depth_values):
 
     t_tiles = -(-w // TILE)
     w_pad = t_tiles * TILE
-    xi_p = _pad_to(xi, w_pad, axis=2).reshape(d, h, t_tiles, TILE)
-    yi_p = _pad_to(yi, w_pad, axis=2).reshape(d, h, t_tiles, TILE)
-    valid_p = _pad_to(valid, w_pad, axis=2).reshape(d, h, t_tiles, TILE)
+    hb = -(-h // ROWS)
+    h_pad = hb * ROWS
+
+    def pad_hw(a, value=0):
+        return _pad_to(_pad_to(a, w_pad, axis=2, value=value),
+                       h_pad, axis=1, value=value)
+
+    xi_p = pad_hw(xi).reshape(d, hb, ROWS, t_tiles, TILE)
+    yi_p = pad_hw(yi).reshape(d, hb, ROWS, t_tiles, TILE)
+    valid_p = pad_hw(valid, value=False).reshape(d, hb, ROWS, t_tiles, TILE)
 
     big = jnp.int32(10 ** 8)
     xs = jnp.where(valid_p, xi_p, big)
     ys = jnp.where(valid_p, yi_p, big)
-    bx = jnp.clip(jnp.min(xs, axis=(0, 3)), 0, max(ws + 2 - WIN_W, 0))
-    by = jnp.clip(jnp.min(ys, axis=(0, 3)), 0, max(hs + 2 - WIN_K, 0))
-    in_win = ((xi_p - bx[None, :, :, None] <= WIN_W - 2)
-              & (yi_p - by[None, :, :, None] <= WIN_K - 2))
+    ws_pad = max(-(-(ws + 2) // GATHER_W) * GATHER_W, WIN_W)
+    bx = jnp.clip(jnp.min(xs, axis=(0, 2, 4)), 0, ws_pad - WIN_W)
+    bx = (bx // GATHER_W) * GATHER_W
+    win_k = min(WIN_K, hs + 2)
+    by = jnp.clip(jnp.min(ys, axis=(0, 2, 4)), 0, hs + 2 - win_k)
+    in_win = ((xi_p - bx[None, :, None, :, None] <= WIN_W - 2)
+              & (yi_p - by[None, :, None, :, None] <= win_k - 2)
+              & (yi_p - by[None, :, None, :, None] >= 0)
+              & (xi_p - bx[None, :, None, :, None] >= 0))
     miss = valid_p & ~in_win
     return jnp.sum(miss) / jnp.maximum(jnp.sum(valid_p), 1)

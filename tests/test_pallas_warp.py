@@ -49,6 +49,36 @@ def test_pallas_warp_matches_xla_interpret(rng):
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
 
 
+def test_model_with_pallas_warp_matches_xla(rng):
+    """Full CasDiffMVS export forward with warp_kernel='pallas' (interpreted
+    on CPU) == the XLA path."""
+    import dataclasses
+
+    from diffmvs_tpu.config import CASDIFFMVS
+    from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+    from helpers import make_batch
+
+    cfg_x = dataclasses.replace(CASDIFFMVS, numdepth_initial=8, numdepth=32)
+    cfg_p = dataclasses.replace(cfg_x, warp_kernel="pallas")
+    batch = make_batch(np.random.RandomState(0), 1, 3, 64, 96, numdepth=32)
+
+    model_x = CasDiffMVS(cfg_x)
+    variables = model_x.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], rng=None, train=False, export=True)
+
+    def run(model):
+        return jax.jit(lambda v, b: model.apply(
+            v, b["imgs"], b["proj_matrices"], b["depth_values"],
+            rng=None, train=False, export=True))(variables, batch)
+
+    out_x = run(model_x)
+    out_p = run(CasDiffMVS(cfg_p))
+    np.testing.assert_allclose(np.asarray(out_p["depth"][-1]),
+                               np.asarray(out_x["depth"][-1]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_warp_nondivisible_width(rng):
     """W not a multiple of the 64-px tile."""
     src, src_pair, ref_pair, depths = _setup(rng, ws=100)
