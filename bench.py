@@ -50,7 +50,9 @@ def main():
     # halves the plane-sweep gather traffic. tests/test_bf16.py guards the
     # numerics; f32 is a config flip.
     cfg = dataclasses.replace(CASDIFFMVS, numdepth_initial=nd_init,
-                              numdepth=cfg_nd, compute_dtype="bfloat16")
+                              numdepth=cfg_nd, compute_dtype="bfloat16",
+                              warp_kernel="pallas" if platform == "tpu"
+                              else "xla")
     model = CasDiffMVS(cfg)
 
     imgs, projs, depth_values = _synthetic_inputs(bsz, 5, h, w, cfg.numdepth)
