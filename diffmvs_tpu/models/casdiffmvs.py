@@ -65,7 +65,8 @@ class CasDiffMVS(nn.Module):
             out_channels=cfg.feat_dim_stage, dtype=dt)
         self.context = ContextNet(out_dim=cfg.ctx_out_dim, dtype=dt)
         self.depthnet = InitialStage(
-            group_dim=cfg.cost_dim_stage[0], up_ratio=2, dtype=dt)
+            group_dim=cfg.cost_dim_stage[0], up_ratio=2,
+            warp_kernel=cfg.warp_kernel, dtype=dt)
 
         hidden_inits, stages = [], []
         for s in (1, 2):

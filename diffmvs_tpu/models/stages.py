@@ -54,6 +54,7 @@ class InitialStage(nn.Module):
 
     group_dim: int = 8           # correlation groups (cost_dim_stage[0])
     up_ratio: int = 2
+    warp_kernel: str = "xla"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -77,9 +78,26 @@ class InitialStage(nn.Module):
 
         cor_list, weight_list = [], []
         for i, src_fea in enumerate(features[1:]):
-            cor = warp_and_correlate(
-                src_fea, ref_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
-                depth_values, self.group_dim)          # [B,D,H,W,G]
+            if self.warp_kernel == "pallas":
+                # full-sweep banded kernel: one window per depth plane
+                from diffmvs_tpu.ops.correlation import group_correlation
+                from diffmvs_tpu.ops.pallas.warp_refine import (
+                    warp_refine_pallas)
+
+                warped = jnp.concatenate([
+                    warp_refine_pallas(
+                        src_fea[j:j + 1], proj_pairs[j:j + 1, i + 1],
+                        proj_pairs[j:j + 1, 0], depth_values[j:j + 1],
+                        per_depth_windows=True)
+                    for j in range(src_fea.shape[0])
+                ])
+                cor = group_correlation(warped.astype(ref_fea.dtype),
+                                        ref_fea, self.group_dim)
+            else:
+                cor = warp_and_correlate(
+                    src_fea, ref_fea, proj_pairs[:, i + 1],
+                    proj_pairs[:, 0], depth_values,
+                    self.group_dim)                    # [B,D,H,W,G]
             weight_list.append(pvw(cor, train))        # [B,H,W]
             cor_list.append(cor)
 

@@ -47,7 +47,7 @@ GATHER_W = 128     # Mosaic lane-gather width limit
 WIN_K = 24         # source window rows (covers ROWS output rows + spread)
 
 
-def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [HB, T]
+def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [DW, HB, T]
                  xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,
                  src_hbm,                    # ANY [(Hs+2)*C, ws_pad]
                  out_ref,                    # [1, D, ROWS, C, TILE]
@@ -55,24 +55,36 @@ def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [HB, T]
     hb = pl.program_id(0)
     t = pl.program_id(1)
     _, d_total, rows, c, _ = out_ref.shape
-    kc = win_ref.shape[0]
+    kc = win_ref.shape[1]
     k = kc // c
+    # bases are per window group: one shared window (refinement: close
+    # hypotheses) or one window per depth (full sweeps)
+    n_windows = bx_ref.shape[0]
+    per_depth = n_windows == d_total
 
-    bxv = pl.multiple_of(bx_ref[hb, t], GATHER_W)   # 128-aligned by build
-    byv = by_ref[hb, t]
-
-    copy = pltpu.make_async_copy(
-        src_hbm.at[pl.ds(byv * c, kc), pl.ds(bxv, WIN_W)],
-        win_ref, sem)
-    copy.start()
-    copy.wait()
-
-    window = win_ref[:]                                   # [K*C, WIN_W]
-    win_lo = window[:, :GATHER_W]
-    win_hi = window[:, GATHER_W:]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1, GATHER_W), 0)
 
+    def load_window(wi, slot):
+        bxv = pl.multiple_of(bx_ref[wi, hb, t], GATHER_W)
+        byv = by_ref[wi, hb, t]
+        copy = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(byv * c, kc), pl.ds(bxv, WIN_W)],
+            win_ref.at[slot], sem)
+        copy.start()
+        copy.wait()
+        return bxv, byv
+
+    bxv, byv = load_window(0, 0)
+    window = win_ref[0]                                   # [K*C, WIN_W]
+    win_lo = window[:, :GATHER_W]
+    win_hi = window[:, GATHER_W:]
+
     for d in range(d_total):
+        if per_depth and d > 0:
+            bxv, byv = load_window(d, 0)
+            window = win_ref[0]
+            win_lo = window[:, :GATHER_W]
+            win_hi = window[:, GATHER_W:]
         for r in range(rows):
             xi = xi_ref[:, d, r, :]                        # [1, TILE] int32
             yi = yi_ref[:, d, r, :]
@@ -125,12 +137,18 @@ def _pad_to(x, size, axis, value=0):
 
 
 def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
-                       interpret: bool = False):
-    """Banded-kernel plane-sweep warp for refinement stages.
+                       interpret: bool = False,
+                       per_depth_windows: bool = False):
+    """Banded-kernel plane-sweep warp.
 
     src_fea: [1, Hs, Ws, C]; src_pair/ref_pair: [1, 2, 4, 4];
     depth_values: [1, D, H, W]. Returns [1, D, H, W, C] float32
     (zero-padding bilinear semantics; window misses also produce zeros).
+
+    per_depth_windows=False shares one window across the D hypotheses
+    (refinement stages: hypotheses are spatially close). =True DMAs one
+    window per depth plane — required for full sweeps (stage 1), where
+    planes land far apart along the epipolar line.
     """
     b, hs, ws, c = src_fea.shape
     assert b == 1, "kernel path is per-sample; vmap/batch outside"
@@ -184,14 +202,18 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     ws2 = ws + 2
     hs2 = hs + 2
     ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, WIN_W)
-    bx = jnp.clip(jnp.min(xi_t, axis=(0, 2, 4)), 0, ws_pad - WIN_W)
+    win_k = min(WIN_K, hs2)          # window cannot exceed the source
+    min_axes = (2, 4) if per_depth_windows else (0, 2, 4)
+    bx = jnp.clip(jnp.min(xi_t, axis=min_axes), 0, ws_pad - WIN_W)
     # DMA lane offsets must be 128-aligned: align the base down (the extra
     # window columns guarantee coverage of the block's span)
     bx = (bx // GATHER_W) * GATHER_W
-    win_k = min(WIN_K, hs2)          # window cannot exceed the source
-    by = jnp.clip(jnp.min(yi_t, axis=(0, 2, 4)), 0, hs2 - win_k)
+    by = jnp.clip(jnp.min(yi_t, axis=min_axes), 0, hs2 - win_k)
     bx = bx.astype(jnp.int32)
     by = by.astype(jnp.int32)
+    if not per_depth_windows:
+        bx = bx[None]
+        by = by[None]                # [1 or D, HB, T]
 
     # channel-interleaved padded source rows: src_t[y*C + c, x]; f32 (the
     # Mosaic lane-gather is 32-bit only)
@@ -221,7 +243,7 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
             lambda hh, tt, bx_r, by_r: (hh * t_tiles + tt, 0, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((win_k * c, WIN_W), src_t.dtype),
+            pltpu.VMEM((1, win_k * c, WIN_W), src_t.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -245,7 +267,8 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     return out[None]
 
 
-def window_miss_fraction(src_fea, src_pair, ref_pair, depth_values):
+def window_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
+                         per_depth_windows: bool = False):
     """Fraction of valid samples whose corners fall outside the kernel's
     window — the kernel zeroes those; callers should fall back to the XLA
     path when this is non-negligible (DTU-style rigs measure 0)."""
@@ -275,13 +298,15 @@ def window_miss_fraction(src_fea, src_pair, ref_pair, depth_values):
     xs = jnp.where(valid_p, xi_p, big)
     ys = jnp.where(valid_p, yi_p, big)
     ws_pad = max(-(-(ws + 2) // GATHER_W) * GATHER_W, WIN_W)
-    bx = jnp.clip(jnp.min(xs, axis=(0, 2, 4)), 0, ws_pad - WIN_W)
-    bx = (bx // GATHER_W) * GATHER_W
     win_k = min(WIN_K, hs + 2)
-    by = jnp.clip(jnp.min(ys, axis=(0, 2, 4)), 0, hs + 2 - win_k)
-    in_win = ((xi_p - bx[None, :, None, :, None] <= WIN_W - 2)
-              & (yi_p - by[None, :, None, :, None] <= win_k - 2)
-              & (yi_p - by[None, :, None, :, None] >= 0)
-              & (xi_p - bx[None, :, None, :, None] >= 0))
+    axes = (2, 4) if per_depth_windows else (0, 2, 4)
+    kd = (slice(None),) if per_depth_windows else (None,)
+    bx = jnp.clip(jnp.min(xs, axis=axes), 0, ws_pad - WIN_W)
+    bx = (bx // GATHER_W) * GATHER_W
+    by = jnp.clip(jnp.min(ys, axis=axes), 0, hs + 2 - win_k)
+    bxe = bx[kd + (slice(None), None, slice(None), None)]
+    bye = by[kd + (slice(None), None, slice(None), None)]
+    in_win = ((xi_p - bxe <= WIN_W - 2) & (yi_p - bye <= win_k - 2)
+              & (yi_p - bye >= 0) & (xi_p - bxe >= 0))
     miss = valid_p & ~in_win
     return jnp.sum(miss) / jnp.maximum(jnp.sum(valid_p), 1)

@@ -79,6 +79,32 @@ def test_model_with_pallas_warp_matches_xla(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_warp_full_sweep_per_depth_windows(rng):
+    """Stage-1-style full uniform sweep needs one window per depth plane."""
+    hs, ws, c, d = 48, 128, 16, 8
+    cams = make_cams(2, hs * 8, ws * 8)
+    projs = stage_projs(cams)["stage1"]
+    ref_pair = jnp.asarray(projs[0][None])
+    src_pair = jnp.asarray(projs[1][None])
+    src = jnp.asarray(rng.randn(1, hs, ws, c).astype(np.float32))
+    sweep = np.linspace(4.0, 10.0, d, dtype=np.float32)
+    depths = jnp.asarray(np.broadcast_to(
+        sweep.reshape(1, d, 1, 1), (1, d, hs, ws)).copy())
+
+    miss = float(jax.jit(
+        lambda *a: window_miss_fraction(*a, per_depth_windows=True)
+    )(src, src_pair, ref_pair, depths))
+    assert miss == 0.0
+
+    ref_out = np.asarray(jax.jit(plane_sweep_warp)(
+        src, src_pair, ref_pair, depths))
+    out = np.asarray(jax.jit(
+        lambda s, sp, rp, dd: warp_refine_pallas(
+            s, sp, rp, dd, interpret=True, per_depth_windows=True)
+    )(src, src_pair, ref_pair, depths))
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_warp_nondivisible_width(rng):
     """W not a multiple of the 64-px tile."""
     src, src_pair, ref_pair, depths = _setup(rng, ws=100)
