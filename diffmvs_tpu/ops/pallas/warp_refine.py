@@ -159,6 +159,18 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
 
+    # large full sweeps: chunk the depth axis (a 48-deep unrolled kernel
+    # body overflows SMEM); each chunk is its own pallas_call
+    max_d = 8
+    if per_depth_windows and d > max_d:
+        chunks = [
+            warp_refine_pallas(src_fea, src_pair, ref_pair,
+                               depth_values[:, i:i + max_d],
+                               interpret=interpret, per_depth_windows=True)
+            for i in range(0, d, max_d)
+        ]
+        return jnp.concatenate(chunks, axis=1)
+
     rot, trans = relative_projection(src_pair, ref_pair)
     x, y = plane_sweep_coords(rot, trans, depth_values)    # [1,D,H,W]
     x = x[0]
