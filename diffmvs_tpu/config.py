@@ -62,12 +62,14 @@ class ModelConfig:
     # recompute for activation memory — jax.checkpoint per scan step)
     remat: bool = False
 
-    # plane-sweep warp backend for the REFINEMENT stages:
-    #   "xla"    — corner-packed jnp.take gather (default, fully general)
-    #   "pallas" — banded Pallas kernel (~1.5x faster on TPU; assumes
-    #              locally-banded sampling windows — exact for refinement
-    #              hypotheses on DTU-like rigs, see
-    #              ops/pallas/warp_refine.window_miss_fraction)
+    # plane-sweep warp backend:
+    #   "xla"         — corner-packed jnp.take gather (default, general)
+    #   "pallas"      — banded Pallas kernel on the REFINEMENT stages
+    #                   (1.76x end-to-end on v5e; assumes locally-banded
+    #                   sampling windows — exact for refinement hypotheses,
+    #                   see ops/pallas/warp_refine.window_miss_fraction)
+    #   "pallas_full" — also run the stage-1 full sweep through the kernel
+    #                   (per-depth windows; currently slower than XLA there)
     warp_kernel: str = "xla"
 
     @property
