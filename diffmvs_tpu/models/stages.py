@@ -88,13 +88,9 @@ class InitialStage(nn.Module):
                 from diffmvs_tpu.ops.pallas.warp_refine import (
                     warp_refine_pallas)
 
-                warped = jnp.concatenate([
-                    warp_refine_pallas(
-                        src_fea[j:j + 1], proj_pairs[j:j + 1, i + 1],
-                        proj_pairs[j:j + 1, 0], depth_values[j:j + 1],
-                        per_depth_windows=True)
-                    for j in range(src_fea.shape[0])
-                ])
+                warped = warp_refine_pallas(
+                    src_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
+                    depth_values, per_depth_windows=True)
                 cor = group_correlation(warped.astype(ref_fea.dtype),
                                         ref_fea, self.group_dim)
             else:
@@ -148,22 +144,27 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
 
     ref_fea = features[0]
     cor_list = []
-    for i, src_fea in enumerate(features[1:]):
-        if warp_kernel in ("pallas", "pallas_full"):
-            # banded Pallas kernel (refinement hypotheses are local);
-            # per-sample calls — batch is a static shape
-            from diffmvs_tpu.ops.pallas.warp_refine import warp_refine_pallas
-            from diffmvs_tpu.ops.correlation import group_correlation
+    if warp_kernel in ("pallas", "pallas_full"):
+        # banded Pallas kernel (refinement hypotheses are local): one
+        # stacked launch covers all source views x batch samples
+        from diffmvs_tpu.ops.correlation import group_correlation
+        from diffmvs_tpu.ops.pallas.warp_refine import warp_refine_pallas
 
-            warped = jnp.concatenate([
-                warp_refine_pallas(
-                    src_fea[j:j + 1], proj_pairs[j:j + 1, i + 1],
-                    proj_pairs[j:j + 1, 0], depth_hyp[j:j + 1])
-                for j in range(src_fea.shape[0])
-            ])
+        bsz = ref_fea.shape[0]
+        n_src = len(features) - 1
+        src_stack = jnp.concatenate(features[1:], axis=0)
+        src_pairs = jnp.concatenate(
+            [proj_pairs[:, i + 1] for i in range(n_src)], axis=0)
+        ref_pairs = jnp.concatenate([proj_pairs[:, 0]] * n_src, axis=0)
+        depth_stack = jnp.concatenate([depth_hyp] * n_src, axis=0)
+        warped = warp_refine_pallas(src_stack, src_pairs, ref_pairs,
+                                    depth_stack)
+        for i in range(n_src):
             cor_list.append(group_correlation(
-                warped.astype(ref_fea.dtype), ref_fea, group_dim))
-        else:
+                warped[i * bsz:(i + 1) * bsz].astype(ref_fea.dtype),
+                ref_fea, group_dim))
+    else:
+        for i, src_fea in enumerate(features[1:]):
             cor_list.append(warp_and_correlate(
                 src_fea, ref_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
                 depth_hyp, group_dim))

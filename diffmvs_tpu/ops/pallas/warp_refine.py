@@ -47,13 +47,15 @@ GATHER_W = 128     # Mosaic lane-gather width limit
 WIN_K = 24         # source window rows (covers ROWS output rows + spread)
 
 
-def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [DW, HB, T]
+def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [DW, N*HB, T]
                  xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,
-                 src_hbm,                    # ANY [(Hs+2)*C, ws_pad]
+                 src_hbm,                    # ANY [N, (Hs+2)*C, ws_pad]
                  out_ref,                    # [1, D, ROWS, C, TILE]
                  win_ref, sem):              # scratch VMEM + DMA sem
-    hb = pl.program_id(0)
-    t = pl.program_id(1)
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    t = pl.program_id(2)
+    nhb = n * pl.num_programs(1) + hb
     _, d_total, rows, c, _ = out_ref.shape
     kc = win_ref.shape[1]
     k = kc // c
@@ -65,10 +67,10 @@ def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [DW, HB, T]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1, GATHER_W), 0)
 
     def load_window(wi, slot):
-        bxv = pl.multiple_of(bx_ref[wi, hb, t], GATHER_W)
-        byv = by_ref[wi, hb, t]
+        bxv = pl.multiple_of(bx_ref[wi, nhb, t], GATHER_W)
+        byv = by_ref[wi, nhb, t]
         copy = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(byv * c, kc), pl.ds(bxv, WIN_W)],
+            src_hbm.at[n, pl.ds(byv * c, kc), pl.ds(bxv, WIN_W)],
             win_ref.at[slot], sem)
         copy.start()
         copy.wait()
@@ -150,8 +152,7 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     window per depth plane — required for full sweeps (stage 1), where
     planes land far apart along the epipolar line.
     """
-    b, hs, ws, c = src_fea.shape
-    assert b == 1, "kernel path is per-sample; vmap/batch outside"
+    n, hs, ws, c = src_fea.shape
     _, d, h, w = depth_values.shape
 
     # the Pallas TPU lowering needs a TPU; fall back to the interpreter on
@@ -172,11 +173,9 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
         return jnp.concatenate(chunks, axis=1)
 
     rot, trans = relative_projection(src_pair, ref_pair)
-    x, y = plane_sweep_coords(rot, trans, depth_values)    # [1,D,H,W]
-    x = x[0]
-    y = y[0]
+    x, y = plane_sweep_coords(rot, trans, depth_values)    # [N,D,H,W]
 
-    # integer corners into the 1-padded source (+1 offset)
+    # integer corners into the 1-padded source (+1 offset); all [N,D,H,W]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0).astype(jnp.float32)
@@ -196,26 +195,28 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     h_pad = hb * ROWS
 
     def pad_hw(a, value=0):
-        return _pad_to(_pad_to(a, w_pad, axis=2, value=value),
-                       h_pad, axis=1, value=value)
+        return _pad_to(_pad_to(a, w_pad, axis=3, value=value),
+                       h_pad, axis=2, value=value)
 
-    xi_p = pad_hw(xi)
+    xi_p = pad_hw(xi)                                       # [N,D,Hp,Wp]
     yi_p = pad_hw(yi)
     fx_p = pad_hw(fx)
     fy_p = pad_hw(fy)
     valid_p = pad_hw(valid, value=False)
 
-    # window bases per (row-block, tile): min over depths + the block's
-    # VALID pixels (padding lanes carry a large sentinel), clipped so the
-    # window stays inside the padded source
+    # window bases per (sample, row-block, tile): min over depths + the
+    # block's VALID pixels (padding lanes carry a large sentinel), clipped
+    # so the window stays inside the padded source
     big = jnp.int32(10 ** 8)
-    xi_t = jnp.where(valid_p, xi_p, big).reshape(d, hb, ROWS, t_tiles, TILE)
-    yi_t = jnp.where(valid_p, yi_p, big).reshape(d, hb, ROWS, t_tiles, TILE)
+    xi_t = jnp.where(valid_p, xi_p, big).reshape(
+        n, d, hb, ROWS, t_tiles, TILE)
+    yi_t = jnp.where(valid_p, yi_p, big).reshape(
+        n, d, hb, ROWS, t_tiles, TILE)
     ws2 = ws + 2
     hs2 = hs + 2
     ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, WIN_W)
     win_k = min(WIN_K, hs2)          # window cannot exceed the source
-    min_axes = (2, 4) if per_depth_windows else (0, 2, 4)
+    min_axes = (3, 5) if per_depth_windows else (1, 3, 5)
     bx = jnp.clip(jnp.min(xi_t, axis=min_axes), 0, ws_pad - WIN_W)
     # DMA lane offsets must be 128-aligned: align the base down (the extra
     # window columns guarantee coverage of the block's span)
@@ -223,36 +224,42 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     by = jnp.clip(jnp.min(yi_t, axis=min_axes), 0, hs2 - win_k)
     bx = bx.astype(jnp.int32)
     by = by.astype(jnp.int32)
-    if not per_depth_windows:
-        bx = bx[None]
-        by = by[None]                # [1 or D, HB, T]
+    if per_depth_windows:
+        # [N, D, HB, T] -> [D, N*HB, T]
+        bx = bx.transpose(1, 0, 2, 3).reshape(d, n * hb, t_tiles)
+        by = by.transpose(1, 0, 2, 3).reshape(d, n * hb, t_tiles)
+    else:
+        bx = bx.reshape(1, n * hb, t_tiles)
+        by = by.reshape(1, n * hb, t_tiles)
 
-    # channel-interleaved padded source rows: src_t[y*C + c, x]; f32 (the
-    # Mosaic lane-gather is 32-bit only)
-    src_p = jnp.pad(src_fea[0].astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
-    src_t = src_p.transpose(0, 2, 1).reshape(hs2 * c, ws2)
-    src_t = _pad_to(src_t, ws_pad, axis=1)
+    # channel-interleaved padded source rows: src_t[n, y*C + c, x]; f32
+    # (the Mosaic lane-gather is 32-bit only)
+    src_p = jnp.pad(src_fea.astype(jnp.float32),
+                    ((0, 0), (1, 1), (1, 1), (0, 0)))
+    src_t = src_p.transpose(0, 1, 3, 2).reshape(n, hs2 * c, ws2)
+    src_t = _pad_to(src_t, ws_pad, axis=2)
 
-    # per-tile inputs as [HB*T, D, ROWS, TILE]: the grid-mapped axis leads
-    # so the last two block dims stay (8, 64)-shaped as Mosaic requires
+    # per-tile inputs as [N*HB*T, D, ROWS, TILE]: the grid-mapped axis
+    # leads so the last two block dims stay (8, 64)-shaped
     def tile_view(a, dtype):
-        return (a.reshape(d, hb, ROWS, t_tiles, TILE)
-                .transpose(1, 3, 0, 2, 4)
-                .reshape(hb * t_tiles, d, ROWS, TILE)
+        return (a.reshape(n, d, hb, ROWS, t_tiles, TILE)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(n * hb * t_tiles, d, ROWS, TILE)
                 .astype(dtype))
 
     spec = pl.BlockSpec((1, d, ROWS, TILE),
-                        lambda hh, tt, bx_r, by_r:
-                        (hh * t_tiles + tt, 0, 0, 0),
+                        lambda nn, hh, tt, bx_r, by_r:
+                        ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(hb, t_tiles),
+        grid=(n, hb, t_tiles),
         in_specs=[spec, spec, spec, spec, spec,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, d, ROWS, c, TILE),
-            lambda hh, tt, bx_r, by_r: (hh * t_tiles + tt, 0, 0, 0, 0),
+            lambda nn, hh, tt, bx_r, by_r:
+            ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, win_k * c, WIN_W), src_t.dtype),
@@ -263,8 +270,8 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     out = pl.pallas_call(
         _warp_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hb * t_tiles, d, ROWS, c, TILE),
-                                       src_t.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n * hb * t_tiles, d, ROWS, c, TILE), src_t.dtype),
         interpret=interpret,
     )(bx, by,
       tile_view(xi_p, jnp.int32), tile_view(yi_p, jnp.int32),
@@ -272,11 +279,11 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
       tile_view(valid_p, jnp.int32) != 0,
       src_t)
 
-    # [HB*T, D, ROWS, C, TILE] -> [1, D, H, W, C]
-    out = out.reshape(hb, t_tiles, d, ROWS, c, TILE)
-    out = out.transpose(2, 0, 3, 1, 5, 4)       # [D, HB, ROWS, T, TILE, C]
-    out = out.reshape(d, h_pad, w_pad, c)[:, :h, :w]
-    return out[None]
+    # [N*HB*T, D, ROWS, C, TILE] -> [N, D, H, W, C]
+    out = out.reshape(n, hb, t_tiles, d, ROWS, c, TILE)
+    out = out.transpose(0, 3, 1, 4, 2, 6, 5)    # [N,D,HB,ROWS,T,TILE,C]
+    out = out.reshape(n, d, h_pad, w_pad, c)[:, :, :h, :w]
+    return out
 
 
 def window_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
