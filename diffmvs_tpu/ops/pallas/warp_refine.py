@@ -47,7 +47,7 @@ GATHER_W = 128     # Mosaic lane-gather width limit
 WIN_K = 24         # source window rows (covers ROWS output rows + spread)
 
 
-def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [DW, N*HB, T]
+def _warp_kernel(base_ref,                  # scalar prefetch [DW, N*HB, T]
                  xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,
                  src_hbm,                    # ANY [N, (Hs+2)*C, ws_pad]
                  out_ref,                    # [1, D, ROWS, C, TILE]
@@ -61,14 +61,17 @@ def _warp_kernel(bx_ref, by_ref,            # scalar prefetch [DW, N*HB, T]
     k = kc // c
     # bases are per window group: one shared window (refinement: close
     # hypotheses) or one window per depth (full sweeps)
-    n_windows = bx_ref.shape[0]
+    n_windows = base_ref.shape[0]
     per_depth = n_windows == d_total
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1, GATHER_W), 0)
 
     def load_window(wi, slot):
-        bxv = pl.multiple_of(bx_ref[wi, nhb, t], GATHER_W)
-        byv = by_ref[wi, nhb, t]
+        # bases are packed (by << 16 | bx); layout [DW, T, N*HB] keeps the
+        # large axis last (SMEM pads the minor dim to 128 lanes)
+        packed = base_ref[wi, t, nhb]
+        bxv = pl.multiple_of(packed % 65536, GATHER_W)
+        byv = packed // 65536
         copy = pltpu.make_async_copy(
             src_hbm.at[n, pl.ds(byv * c, kc), pl.ds(bxv, WIN_W)],
             win_ref.at[slot], sem)
@@ -224,13 +227,13 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
     by = jnp.clip(jnp.min(yi_t, axis=min_axes), 0, hs2 - win_k)
     bx = bx.astype(jnp.int32)
     by = by.astype(jnp.int32)
+    packed = by * 65536 + bx      # SMEM-prefetch packing (by << 16 | bx)
     if per_depth_windows:
-        # [N, D, HB, T] -> [D, N*HB, T]
-        bx = bx.transpose(1, 0, 2, 3).reshape(d, n * hb, t_tiles)
-        by = by.transpose(1, 0, 2, 3).reshape(d, n * hb, t_tiles)
+        # [N, D, HB, T] -> [D, T, N*HB]
+        packed = packed.transpose(1, 3, 0, 2).reshape(d, t_tiles, n * hb)
     else:
-        bx = bx.reshape(1, n * hb, t_tiles)
-        by = by.reshape(1, n * hb, t_tiles)
+        # [N, HB, T] -> [1, T, N*HB]
+        packed = packed.transpose(2, 0, 1).reshape(1, t_tiles, n * hb)
 
     # channel-interleaved padded source rows: src_t[n, y*C + c, x]; f32
     # (the Mosaic lane-gather is 32-bit only)
@@ -248,17 +251,17 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
                 .astype(dtype))
 
     spec = pl.BlockSpec((1, d, ROWS, TILE),
-                        lambda nn, hh, tt, bx_r, by_r:
+                        lambda nn, hh, tt, base_r:
                         ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n, hb, t_tiles),
         in_specs=[spec, spec, spec, spec, spec,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, d, ROWS, c, TILE),
-            lambda nn, hh, tt, bx_r, by_r:
+            lambda nn, hh, tt, base_r:
             ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -273,7 +276,7 @@ def warp_refine_pallas(src_fea, src_pair, ref_pair, depth_values,
         out_shape=jax.ShapeDtypeStruct(
             (n * hb * t_tiles, d, ROWS, c, TILE), src_t.dtype),
         interpret=interpret,
-    )(bx, by,
+    )(packed,
       tile_view(xi_p, jnp.int32), tile_view(yi_p, jnp.int32),
       tile_view(fx_p, jnp.float32), tile_view(fy_p, jnp.float32),
       tile_view(valid_p, jnp.int32) != 0,
