@@ -145,24 +145,22 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
     ref_fea = features[0]
     cor_list = []
     if warp_kernel in ("pallas", "pallas_full"):
-        # banded Pallas kernel (refinement hypotheses are local): one
-        # stacked launch covers all source views x batch samples
+        # banded Pallas kernel (refinement hypotheses are local). One call
+        # per (view, sample): a single stacked launch over views x batch
+        # measured SLOWER end-to-end (2.82 vs 3.22 maps/s) — the separate
+        # calls pipeline better against the surrounding XLA ops.
         from diffmvs_tpu.ops.correlation import group_correlation
         from diffmvs_tpu.ops.pallas.warp_refine import warp_refine_pallas
 
-        bsz = ref_fea.shape[0]
-        n_src = len(features) - 1
-        src_stack = jnp.concatenate(features[1:], axis=0)
-        src_pairs = jnp.concatenate(
-            [proj_pairs[:, i + 1] for i in range(n_src)], axis=0)
-        ref_pairs = jnp.concatenate([proj_pairs[:, 0]] * n_src, axis=0)
-        depth_stack = jnp.concatenate([depth_hyp] * n_src, axis=0)
-        warped = warp_refine_pallas(src_stack, src_pairs, ref_pairs,
-                                    depth_stack)
-        for i in range(n_src):
+        for i, src_fea in enumerate(features[1:]):
+            warped = jnp.concatenate([
+                warp_refine_pallas(
+                    src_fea[j:j + 1], proj_pairs[j:j + 1, i + 1],
+                    proj_pairs[j:j + 1, 0], depth_hyp[j:j + 1])
+                for j in range(src_fea.shape[0])
+            ])
             cor_list.append(group_correlation(
-                warped[i * bsz:(i + 1) * bsz].astype(ref_fea.dtype),
-                ref_fea, group_dim))
+                warped.astype(ref_fea.dtype), ref_fea, group_dim))
     else:
         for i, src_fea in enumerate(features[1:]):
             cor_list.append(warp_and_correlate(
