@@ -101,15 +101,16 @@ def save_scene_depth(args, cfg, testlist):
                     from diffmvs_tpu.tools.torch_import import (
                         load_torch_checkpoint)
                     variables = load_torch_checkpoint(args.loadckpt, cfg)
+                elif args.loadckpt:
+                    # orbax checkpoint dir (or a train logdir: latest epoch)
+                    from diffmvs_tpu.train.checkpoint import load_variables
+                    variables = load_variables(args.loadckpt)
                 else:
                     variables = model.init(
                         jax.random.PRNGKey(0), imgs[:1],
                         {k: v[:1] for k, v in projs.items()},
                         depth_values[:1], rng=None, train=False,
                         export=True)
-                    if args.loadckpt:
-                        raise NotImplementedError(
-                            "orbax eval restore: use cli.train --resume")
 
             rng = jax.random.PRNGKey(args.seed + batch_idx)
             t0 = time.time()

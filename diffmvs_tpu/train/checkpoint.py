@@ -69,6 +69,30 @@ def _merge(dst, src):
     return out
 
 
+def _resolve_ckpt_path(path_or_logdir: str) -> str:
+    path = path_or_logdir
+    if not os.path.basename(path).startswith("model_"):
+        ep = latest_epoch(path)
+        if ep is None:
+            raise FileNotFoundError(f"no checkpoints in {path}")
+        path = _ckpt_dir(path, ep)
+    return path
+
+
+def load_variables(path_or_logdir: str):
+    """Load inference variables ({params, batch_stats}) from an orbax
+    checkpoint dir (or a logdir containing model_NNNNNN dirs) without a
+    state template — the eval driver's restore path
+    (reference: /root/reference/test.py:106-111)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(_resolve_ckpt_path(path_or_logdir))
+    src = restored["state"]
+    variables = {"params": src["params"]}
+    if src.get("batch_stats"):
+        variables["batch_stats"] = src["batch_stats"]
+    return variables
+
+
 def load_weights_only(path_or_logdir: str, state):
     """Load params + batch_stats from a checkpoint into `state`, keeping the
     optimizer state fresh (the reference's --loadckpt)."""
