@@ -49,9 +49,13 @@ def main():
     # soft-argmax and diffusion state stay f32 — see ModelConfig), which also
     # halves the plane-sweep gather traffic. tests/test_bf16.py guards the
     # numerics; f32 is a config flip.
+    # "pallas_full": the fused warp+correlation kernel covers the
+    # refinement stages AND the stage-1 full sweep (grouped windows) —
+    # measured 3.7 vs 30 ms (stage-3 call) and 8.2 vs 24 ms (sweep call)
+    # against the XLA gather path; see docs/perf_breakdown.md
     cfg = dataclasses.replace(CASDIFFMVS, numdepth_initial=nd_init,
                               numdepth=cfg_nd, compute_dtype="bfloat16",
-                              warp_kernel="pallas" if platform == "tpu"
+                              warp_kernel="pallas_full" if platform == "tpu"
                               else "xla")
     model = CasDiffMVS(cfg)
 

@@ -35,6 +35,11 @@ def build_argparser():
     p.add_argument("--max_w", type=int, default=6400)
     p.add_argument("--numdepth_initial", type=int, default=None)
     p.add_argument("--numdepth", type=int, default=384)
+    p.add_argument("--warp_kernel", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas_full"],
+                   help="plane-sweep backend; auto = fused Pallas kernel "
+                        "on TPU (with a per-scene window-miss guard that "
+                        "falls back to XLA), XLA gather elsewhere")
     p.add_argument("--geo_mask_thres", type=int, default=2)
     p.add_argument("--geo_pixel_thres", type=float, default=1.0)
     p.add_argument("--geo_depth_thres", type=float, default=0.01)
@@ -56,6 +61,8 @@ def save_scene_depth(args, cfg, testlist):
     """Export depth maps for the scenes in `testlist`
     (test.py:92-205)."""
 
+    import dataclasses
+
     import jax
 
     from diffmvs_tpu.data.io import save_pfm, write_cam
@@ -66,12 +73,24 @@ def save_scene_depth(args, cfg, testlist):
 
     from diffmvs_tpu.data.pipeline import DataPipeline
 
-    model = CasDiffMVS(cfg)
-    infer = make_infer_fn(model)
+    warp_kernel = args.warp_kernel
+    if warp_kernel == "auto":
+        warp_kernel = ("pallas" if jax.default_backend() == "tpu"
+                       else "xla")
+
+    model = CasDiffMVS(cfg)         # params are warp-kernel independent
+    infer_cache = {}
+
+    def get_infer(kern):
+        if kern not in infer_cache:
+            m = CasDiffMVS(dataclasses.replace(cfg, warp_kernel=kern))
+            infer_cache[kern] = make_infer_fn(m)
+        return infer_cache[kern]
 
     variables = None
     times = []
     for scene in testlist:
+        scene_kernel = warp_kernel
         ds = MVSDataset(args.testpath, args.num_view, args.numdepth,
                         dataset=args.dataset, scan=[scene],
                         max_h=args.max_h, max_w=args.max_w)
@@ -95,6 +114,29 @@ def save_scene_depth(args, cfg, testlist):
             imgs = batch["imgs"]
             projs = batch["proj_matrices"]
             depth_values = batch["depth_values"]
+
+            if batch_idx == 0 and scene_kernel.startswith("pallas"):
+                # per-scene window-miss guard: the banded kernel zeroes
+                # samples outside its windows; on rigs where that would
+                # drop real samples, fall back to the exact XLA path
+                from diffmvs_tpu.ops.pallas.warp_corr import (
+                    model_miss_fraction)
+
+                import functools
+                guard = jax.jit(functools.partial(
+                    model_miss_fraction,
+                    height=imgs.shape[2], width=imgs.shape[3],
+                    stage_iters=cfg.stage_iters,
+                    numdepth_initial=(cfg.numdepth_initial
+                                      if scene_kernel == "pallas_full"
+                                      else 0)))
+                miss = float(guard(projs, depth_values))
+                if miss > 1e-4:
+                    print(f"scene {scene or '<root>'}: banded-warp window "
+                          f"miss {miss:.2%} > 0.01% — falling back to "
+                          f"warp_kernel=xla")
+                    scene_kernel = "xla"
+            infer = get_infer(scene_kernel)
 
             if variables is None:
                 if args.loadckpt and args.loadckpt.endswith(".ckpt"):

@@ -78,21 +78,21 @@ class InitialStage(nn.Module):
 
         cor_list, weight_list = [], []
         for i, src_fea in enumerate(features[1:]):
-            # "pallas" applies the banded kernel to the refinement stages
-            # only — for the full sweep the chunked per-depth launches
-            # measured slower than XLA's gather (3.09 vs 3.22 maps/s), so
-            # the sweep keeps XLA unless explicitly asked ("pallas_full")
+            # "pallas" applies the fused kernel to the refinement stages
+            # only; "pallas_full" also routes this full sweep through it
+            # (grouped windows: 8 adjacent planes share one DMA window)
             if self.warp_kernel == "pallas_full":
-                # full-sweep banded kernel: one window per depth plane
-                from diffmvs_tpu.ops.correlation import group_correlation
-                from diffmvs_tpu.ops.pallas.warp_refine import (
-                    warp_refine_pallas)
+                from diffmvs_tpu.ops.pallas.warp_corr import (
+                    warp_corr_pallas)
 
-                warped = warp_refine_pallas(
-                    src_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
-                    depth_values, per_depth_windows=True)
-                cor = group_correlation(warped.astype(ref_fea.dtype),
-                                        ref_fea, self.group_dim)
+                cor = jnp.concatenate([
+                    warp_corr_pallas(
+                        src_fea[j:j + 1], ref_fea[j:j + 1],
+                        proj_pairs[j:j + 1, i + 1], proj_pairs[j:j + 1, 0],
+                        depth_values[j:j + 1], self.group_dim,
+                        window_group=8)
+                    for j in range(src_fea.shape[0])
+                ]).astype(ref_fea.dtype)
             else:
                 cor = warp_and_correlate(
                     src_fea, ref_fea, proj_pairs[:, i + 1],
@@ -145,22 +145,22 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
     ref_fea = features[0]
     cor_list = []
     if warp_kernel in ("pallas", "pallas_full"):
-        # banded Pallas kernel (refinement hypotheses are local). One call
-        # per (view, sample): a single stacked launch over views x batch
-        # measured SLOWER end-to-end (2.82 vs 3.22 maps/s) — the separate
-        # calls pipeline better against the surrounding XLA ops.
-        from diffmvs_tpu.ops.correlation import group_correlation
-        from diffmvs_tpu.ops.pallas.warp_refine import warp_refine_pallas
+        # fused warp+correlation Pallas kernel (refinement hypotheses are
+        # banded). One call per (view, sample): a single stacked launch
+        # over views x batch measured SLOWER end-to-end (2.82 vs 3.22
+        # maps/s with the v1 kernel) — separate calls pipeline better
+        # against the surrounding XLA ops.
+        from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
 
         for i, src_fea in enumerate(features[1:]):
-            warped = jnp.concatenate([
-                warp_refine_pallas(
-                    src_fea[j:j + 1], proj_pairs[j:j + 1, i + 1],
-                    proj_pairs[j:j + 1, 0], depth_hyp[j:j + 1])
+            cor = jnp.concatenate([
+                warp_corr_pallas(
+                    src_fea[j:j + 1], ref_fea[j:j + 1],
+                    proj_pairs[j:j + 1, i + 1], proj_pairs[j:j + 1, 0],
+                    depth_hyp[j:j + 1], group_dim)
                 for j in range(src_fea.shape[0])
             ])
-            cor_list.append(group_correlation(
-                warped.astype(ref_fea.dtype), ref_fea, group_dim))
+            cor_list.append(cor.astype(ref_fea.dtype))
     else:
         for i, src_fea in enumerate(features[1:]):
             cor_list.append(warp_and_correlate(

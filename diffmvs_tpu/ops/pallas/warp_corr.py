@@ -1,0 +1,427 @@
+"""Fused Pallas warp + group-correlation kernel (v2 of the banded warp).
+
+Replaces warp_refine.py's warp-only kernel on the hot path. Differences
+(each measured individually on v5e, see docs/perf_breakdown.md):
+
+  1. **Fused group correlation**: the reference-feature tile rides along as
+     a VMEM block and the kernel emits [D, ROWS, G, TILE] group-mean
+     correlations directly (G = C/Cg, 4-12x smaller than the warped
+     feature block), removing the HBM round-trip of the warped volume and
+     the XLA fusion barrier behind it
+     (parity: /root/reference/models/module.py:529-531,644-646).
+  2. **Row-band sub-slicing**: per (depth, output-row) the bilinear
+     corners of a 64-px tile span only a few source rows; an
+     XLA-precomputed per-(d,r) row offset (scalar-prefetched) dynamic-
+     slices a BAND_ROWS-row band out of the window, so the lane gather
+     and the y-interpolation masked-sum run on [BAND_ROWS*C, 128]
+     instead of [WIN_K*C, 128] (6x less VPU work at the defaults).
+  3. **Double-buffered window DMAs**: windows stream through a 2-slot
+     VMEM scratch; window w+1's copy is issued before w is consumed
+     (the v1 kernel stalled on copy.start(); copy.wait() per step).
+  4. **Parametric depth grouping** (`window_group`): one window per
+     `window_group` consecutive depth planes. Refinement stages use one
+     shared window (hypotheses are spatially close); full sweeps group
+     adjacent planes (they advance gradually along the epipolar line),
+     amortizing one DMA over the group.
+
+Window/band misses are zeroed (the XLA path's zero-padding semantics
+apply only to out-of-image samples — use `warp_corr_miss_fraction` /
+the model's runtime guard to fall back to XLA on geometries where the
+banding assumption fails; DTU-style rigs measure 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from diffmvs_tpu.geometry.transforms import relative_projection
+from diffmvs_tpu.geometry.warp import plane_sweep_coords
+
+TILE = 64          # output pixels per tile (lanes 0..63)
+ROWS = 8           # output rows per grid step
+WIN_W = 256        # source window width (two 128-lane gather halves)
+GATHER_W = 128     # Mosaic lane-gather width limit
+WIN_K = 24         # source window rows per DMA
+BAND_ROWS = 4      # rows gathered per (depth, output-row) band
+
+
+def _corr_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
+                 rstart_ref,    # scalar prefetch [D, ROWS, T, N*HB]
+                 xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,  # [1,D,ROWS,TILE]
+                 ref_ref,       # [1, ROWS, C, TILE] reference-feature tile
+                 src_hbm,       # ANY [N, (Hs+2)*C, ws_pad]
+                 out_ref,       # [1, D, ROWS, G, TILE]
+                 win_ref, sem,  # VMEM (2*WIN_K*C, WIN_W) + DMA sem (2,)
+                 *, wg: int, win_k: int, groups: int, band: int):
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    t = pl.program_id(2)
+    num_hb = pl.num_programs(1)
+    num_t = pl.num_programs(2)
+    nhb = n * num_hb + hb
+    step = nhb * num_t + t
+    _, d_total, rows, g_total, _ = out_ref.shape
+    c = ref_ref.shape[2]
+    cg = c // g_total
+    kc = win_k * c
+    nw = -(-d_total // wg)                     # windows per grid step
+    total_windows = pl.num_programs(0) * num_hb * num_t * nw
+
+    def window_base(widx):
+        """(n', bx, by) for global window index widx."""
+        wi = widx % nw
+        s = widx // nw
+        tt = s % num_t
+        nhb2 = s // num_t
+        nn2 = nhb2 // num_hb
+        packed = base_ref[wi, tt, nhb2]
+        bx = pl.multiple_of(packed % 65536, GATHER_W)
+        by = packed // 65536
+        return nn2, bx, by
+
+    def copy_for(widx):
+        nn2, bx, by = window_base(widx)
+        slot = jax.lax.rem(widx, 2)
+        dst = win_ref.at[pl.ds(pl.multiple_of(slot * kc, 8), kc), :]
+        return pltpu.make_async_copy(
+            src_hbm.at[nn2, pl.ds(by * c, kc), pl.ds(bx, WIN_W)],
+            dst, sem.at[slot])
+
+    @pl.when(step == 0)
+    def _():
+        copy_for(0).start()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (band, 1, GATHER_W), 0)
+
+    for d in range(d_total):
+        wi = d // wg
+        if d % wg == 0:
+            widx = step * nw + wi
+            @pl.when(widx + 1 < total_windows)
+            def _():
+                copy_for(widx + 1).start()
+            copy_for(widx).wait()
+            slot = jax.lax.rem(widx, 2)
+            slot_base = pl.multiple_of(slot * kc, 8)
+            _, bxv, byv = window_base(widx)
+
+        for r in range(rows):
+            xi = xi_ref[:, d, r, :]                        # [1, TILE] int32
+            yi = yi_ref[:, d, r, :]
+            fx = fx_ref[:, d, r, :]
+            fy = fy_ref[:, d, r, :]
+            valid_in = vmask_ref[:, d, r, :] != 0
+            rs = rstart_ref[d, r, t, nhb]                  # band row offset
+
+            lx = xi - bxv
+            lyr = yi - byv - rs                            # band-relative y
+            in_band = ((lx >= 0) & (lx <= WIN_W - 2)
+                       & (lyr >= 0) & (lyr <= band - 2))
+            valid = valid_in & in_band
+
+            lxc = jnp.clip(lx, 0, WIN_W - 2)
+            lyrc = jnp.clip(lyr, 0, band - 2)
+
+            bandw = win_ref[pl.ds(
+                pl.multiple_of(slot_base + rs * c, 8), band * c), :]
+            band_lo = bandw[:, :GATHER_W]
+            band_hi = bandw[:, GATHER_W:]
+
+            # both x-corners in one gather pass: lanes [0,TILE) -> x0,
+            # lanes [TILE,2*TILE) -> x0+1 of pixel (lane - TILE)
+            lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)  # [1, GATHER_W]
+            idx = jnp.broadcast_to(lx2, (band * c, GATHER_W))
+            g_lo = jnp.take_along_axis(
+                band_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
+            g_hi = jnp.take_along_axis(
+                band_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1), axis=1)
+            gv = jnp.where(idx < GATHER_W, g_lo, g_hi)
+            gv = gv.reshape(band, c, GATHER_W)
+
+            # y-interp: band rows lyrc, lyrc+1 weighted (1-fy, fy)
+            ly2 = jnp.concatenate([lyrc, lyrc], axis=1)    # [1, GATHER_W]
+            fy2 = jnp.concatenate([fy, fy], axis=1)
+            wk = (jnp.where(row_ids == ly2[None], 1.0 - fy2[None], 0.0)
+                  + jnp.where(row_ids == ly2[None] + 1, fy2[None], 0.0))
+            s = jnp.sum(gv * wk.astype(gv.dtype), axis=0)  # [C, GATHER_W]
+
+            # x-interp across the lane halves
+            left = s[:, :TILE]
+            right = s[:, TILE:]
+            outv = left + (right - left) * fx.astype(s.dtype)
+            outv = outv * valid.astype(s.dtype)            # [C, TILE]
+
+            # fused group correlation vs the reference tile
+            prod = outv * ref_ref[0, r]                    # [C, TILE]
+            corr = jnp.mean(prod.reshape(g_total, cg, TILE), axis=1)
+            out_ref[0, d, r, :, :] = corr
+
+
+def _pad_to(x, size, axis, value=0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k):
+    """Window bases + per-(d,row) band offsets from padded integer corners.
+
+    xi/yi/valid: [N, D, H, W] (already +1 padded-coord ints / bool).
+    Returns (packed_bases [NW, T, N*HB], rstarts [D, ROWS, T, N*HB],
+             dims (hb, t_tiles, ws_pad, nw)).
+    """
+    n = xi.shape[0]
+    t_tiles = -(-w // TILE)
+    w_pad = t_tiles * TILE
+    hb = -(-h // ROWS)
+    h_pad = hb * ROWS
+    nw = -(-d // wg)
+
+    def pad_hw(a, value=0):
+        return _pad_to(_pad_to(a, w_pad, axis=3, value=value),
+                       h_pad, axis=2, value=value)
+
+    big = jnp.int32(10 ** 8)
+    xi_p = pad_hw(xi)
+    yi_p = pad_hw(yi)
+    valid_p = pad_hw(valid, value=False)
+    xs = jnp.where(valid_p, xi_p, big)
+    ys = jnp.where(valid_p, yi_p, big)
+    # group the depth axis into nw chunks of wg (sentinel-padded)
+    xs = _pad_to(xs, nw * wg, axis=1, value=10 ** 8)
+    ys = _pad_to(ys, nw * wg, axis=1, value=10 ** 8)
+    xs = xs.reshape(n, nw, wg, hb, ROWS, t_tiles, TILE)
+    ys = ys.reshape(n, nw, wg, hb, ROWS, t_tiles, TILE)
+
+    ws2, hs2 = ws + 2, hs + 2
+    ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, WIN_W)
+    bx = jnp.clip(jnp.min(xs, axis=(2, 4, 6)), 0, ws_pad - WIN_W)
+    bx = (bx // GATHER_W) * GATHER_W          # 128-aligned DMA lane base
+    by = jnp.clip(jnp.min(ys, axis=(2, 4, 6)), 0, hs2 - win_k)
+    # [N, NW, HB, T] int32
+    packed = (by * 65536 + bx).astype(jnp.int32)
+    packed_t = packed.transpose(1, 3, 0, 2).reshape(nw, t_tiles, n * hb)
+
+    # per-(d, row) band offset inside the window: min valid y of the
+    # row's tile, relative to the group's by, clipped to the window
+    ys_row = jnp.where(valid_p, yi_p, big).reshape(
+        n, d, hb, ROWS, t_tiles, TILE)
+    row_min = jnp.min(ys_row, axis=5)                  # [N, D, HB, ROWS, T]
+    by_full = jnp.repeat(by, wg, axis=1)[:, :d]        # [N, D, HB, T]
+    rstart = jnp.clip(row_min - by_full[:, :, :, None, :], 0,
+                      win_k - BAND_ROWS).astype(jnp.int32)
+    # [N, D, HB, ROWS, T] -> [D, ROWS, T, N*HB]
+    rstart_t = rstart.transpose(1, 3, 4, 0, 2).reshape(
+        d, ROWS, t_tiles, n * hb)
+    return packed_t, rstart_t, (hb, t_tiles, w_pad, h_pad, ws_pad, nw)
+
+
+def _corner_split(x, y, hs, ws):
+    """Integer corners into the 1-padded source + fractions + validity,
+    exactly matching the packed XLA path's semantics."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    xi = x0.astype(jnp.int32) + 1
+    yi = y0.astype(jnp.int32) + 1
+    valid = (xi >= 0) & (xi <= ws) & (yi >= 0) & (yi <= hs)
+    xi = jnp.clip(xi, 0, ws)
+    yi = jnp.clip(yi, 0, hs)
+    return xi, yi, fx, fy, valid
+
+
+def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
+                     groups: int, window_group: int = 0,
+                     win_k: int = WIN_K, interpret: bool = False):
+    """Fused plane-sweep warp + group correlation for one source view.
+
+    src_fea/ref_fea: [N, Hs, Ws, C] / [N, H, W, C]; src_pair/ref_pair:
+    [N, 2, 4, 4]; depth_values: [N, D, H, W] metric hypotheses.
+    window_group: depth planes per DMA window (0 = one shared window for
+    all D — refinement stages; full sweeps want ~8).
+    Returns [N, D, H, W, G] float32 group-mean correlations
+    (out-of-image / out-of-band samples contribute zeros).
+    """
+    n, hs, ws, c = src_fea.shape
+    _, d, h, w = depth_values.shape
+    assert c % groups == 0
+    assert c % 8 == 0, "band sub-slice offsets need C % 8 == 0"
+    wg = d if window_group in (0, None) else min(window_group, d)
+    win_k = min(win_k, hs + 2)
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    rot, trans = relative_projection(src_pair, ref_pair)
+    x, y = plane_sweep_coords(rot, trans, depth_values)
+    xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
+
+    packed, rstarts, dims = _window_geometry(
+        xi, yi, valid, d, h, w, hs, ws, wg, win_k)
+    hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
+
+    def pad_hw(a, value=0):
+        return _pad_to(_pad_to(a, w_pad, axis=3, value=value),
+                       h_pad, axis=2, value=value)
+
+    # channel-interleaved padded source rows: src_t[n, y*C + c, x]; f32
+    # (the Mosaic lane-gather is 32-bit only)
+    src_p = jnp.pad(src_fea.astype(jnp.float32),
+                    ((0, 0), (1, 1), (1, 1), (0, 0)))
+    src_t = src_p.transpose(0, 1, 3, 2).reshape(n, (hs + 2) * c, ws + 2)
+    src_t = _pad_to(src_t, ws_pad, axis=2)
+
+    # reference tiles [N*HB*T, ROWS, C, TILE] matching the output layout
+    ref_t = _pad_to(_pad_to(ref_fea.astype(jnp.float32), w_pad, axis=2),
+                    h_pad, axis=1)
+    ref_t = (ref_t.reshape(n, hb, ROWS, t_tiles, TILE, c)
+             .transpose(0, 1, 3, 2, 5, 4)
+             .reshape(n * hb * t_tiles, ROWS, c, TILE))
+
+    def tile_view(a, dtype):
+        return (pad_hw(a).reshape(n, d, hb, ROWS, t_tiles, TILE)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(n * hb * t_tiles, d, ROWS, TILE)
+                .astype(dtype))
+
+    spec = pl.BlockSpec((1, d, ROWS, TILE),
+                        lambda nn, hh, tt, *_:
+                        ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ref_spec = pl.BlockSpec((1, ROWS, c, TILE),
+                            lambda nn, hh, tt, *_:
+                            ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, hb, t_tiles),
+        in_specs=[spec, spec, spec, spec, spec, ref_spec,
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, d, ROWS, groups, TILE),
+            lambda nn, hh, tt, *_:
+            ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * win_k * c, WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(_corr_kernel, wg=wg, win_k=win_k,
+                               groups=groups, band=BAND_ROWS)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n * hb * t_tiles, d, ROWS, groups, TILE), jnp.float32),
+        interpret=interpret,
+    )(packed, rstarts,
+      tile_view(xi, jnp.int32),
+      tile_view(yi, jnp.int32),
+      tile_view(fx, jnp.float32),
+      tile_view(fy, jnp.float32),
+      tile_view(valid.astype(jnp.int32), jnp.int32) != 0,
+      ref_t, src_t)
+
+    # [N*HB*T, D, ROWS, G, TILE] -> [N, D, H, W, G]
+    out = out.reshape(n, hb, t_tiles, d, ROWS, groups, TILE)
+    out = out.transpose(0, 3, 1, 4, 2, 6, 5)
+    out = out.reshape(n, d, h_pad, w_pad, groups)[:, :, :h, :w]
+    return out
+
+
+def model_miss_fraction(proj_matrices, depth_values, height, width,
+                        stage_iters=(1, 3, 3), numdepth_initial: int = 0):
+    """Conservative banding-miss estimate for one view-set (sample 0).
+
+    Checks, per refinement stage and source view, the window/band miss
+    fraction of 8 hypothesis planes spanning the full depth range with
+    2-plane shared windows — a strictly wider spread than any
+    confidence-adaptive refinement window, so a 0 here implies the real
+    kernel drops nothing. With numdepth_initial > 0 the stage-1 full
+    sweep (8-plane window groups, the "pallas_full" path) is included.
+
+    proj_matrices: {stageK: [B, V, 2, 4, 4]}; depth_values: [B, ND]
+    inverse-depth linspace; height/width: full image resolution.
+    Returns a scalar in [0, 1]; jit-friendly (coords math only). The
+    caller (cli/test.py, DepthRunner) falls back to warp_kernel="xla"
+    when this is non-negligible — the XLA path reproduces
+    grid_sample's exact zero-padding semantics everywhere
+    (/root/reference/models/module.py:212-215)."""
+    checks = []
+    if numdepth_initial:
+        checks.append(("stage1", 8, numdepth_initial, 8))
+    for stage_idx, key, down in ((1, "stage2", 4), (2, "stage3", 2)):
+        if stage_iters[stage_idx] > 0:
+            checks.append((key, down, 8, 2))
+
+    disp = depth_values[0].astype(jnp.float32)
+    miss = jnp.float32(0.0)
+    for key, down, n_planes, wgrp in checks:
+        h, w = height // down, width // down
+        inv = jnp.linspace(disp[0], disp[-1], n_planes)
+        planes = jnp.broadcast_to(
+            (1.0 / inv).reshape(1, n_planes, 1, 1), (1, n_planes, h, w))
+        dummy_src = jnp.zeros((1, h, w, 8), jnp.float32)
+        projs = proj_matrices[key].astype(jnp.float32)
+        v = projs.shape[1]
+        for i in range(1, v):
+            m = warp_corr_miss_fraction(
+                dummy_src, projs[:1, i], projs[:1, 0], planes,
+                window_group=wgrp)
+            miss = jnp.maximum(miss, m)
+    return miss
+
+
+def warp_corr_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
+                            window_group: int = 0, win_k: int = WIN_K):
+    """Fraction of in-image bilinear samples the banded kernel would zero
+    (outside its window OR outside the per-row band). Callers must fall
+    back to the XLA path when this is non-negligible for their geometry
+    (DTU-style rigs measure 0) — see CasDiffMVS's runtime guard."""
+    n, hs, ws, _ = src_fea.shape
+    _, d, h, w = depth_values.shape
+    wg = d if window_group in (0, None) else min(window_group, d)
+    win_k = min(win_k, hs + 2)
+
+    rot, trans = relative_projection(src_pair, ref_pair)
+    x, y = plane_sweep_coords(rot, trans, depth_values)
+    xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
+    packed, rstarts, dims = _window_geometry(
+        xi, yi, valid, d, h, w, hs, ws, wg, win_k)
+    hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
+
+    def pad_hw(a, value=0):
+        return _pad_to(_pad_to(a, w_pad, axis=3, value=value),
+                       h_pad, axis=2, value=value)
+
+    xi_p = pad_hw(xi).reshape(n, d, hb, ROWS, t_tiles, TILE)
+    yi_p = pad_hw(yi).reshape(n, d, hb, ROWS, t_tiles, TILE)
+    valid_p = pad_hw(valid, value=False).reshape(
+        n, d, hb, ROWS, t_tiles, TILE)
+
+    bx = (packed % 65536).reshape(nw, t_tiles, n, hb)
+    by = (packed // 65536).reshape(nw, t_tiles, n, hb)
+    # [NW, T, N, HB] -> [N, NW, HB, T] -> repeat depth
+    bx = jnp.repeat(bx.transpose(2, 0, 3, 1), wg, axis=1)[:, :d]
+    by = jnp.repeat(by.transpose(2, 0, 3, 1), wg, axis=1)[:, :d]
+    # rstarts [D, ROWS, T, N*HB] -> [N, D, HB, ROWS, T]
+    rs = rstarts.reshape(d, ROWS, t_tiles, n, hb).transpose(3, 0, 4, 1, 2)
+
+    lx = xi_p - bx[:, :, :, None, :, None]
+    lyr = (yi_p - by[:, :, :, None, :, None]
+           - rs[:, :, :, :, :, None])
+    in_band = ((lx >= 0) & (lx <= WIN_W - 2)
+               & (lyr >= 0) & (lyr <= BAND_ROWS - 2))
+    miss = valid_p & ~in_band
+    return jnp.sum(miss) / jnp.maximum(jnp.sum(valid_p), 1)

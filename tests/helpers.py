@@ -3,15 +3,16 @@
 import numpy as np
 
 
-def make_cams(v, h, w, focal=None):
+def make_cams(v, h, w, focal=None, yaw=None):
     """[V, 2, 4, 4] (extrinsic, intrinsic) with ref identity and src views on
-    a small arc. Intrinsics are full-resolution."""
+    a small arc (yaw overrides the 0.04 rad/view step — big values make a
+    strong-rotation rig). Intrinsics are full-resolution."""
     focal = focal or 1.2 * w
     k = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
                  np.float32)
     cams = []
     for i in range(v):
-        th = 0.0 if i == 0 else 0.04 * i
+        th = 0.0 if i == 0 else (yaw if yaw is not None else 0.04) * i
         e = np.eye(4, dtype=np.float32)
         e[:3, :3] = np.array(
             [[np.cos(th), 0, np.sin(th)], [0, 1, 0],

@@ -105,6 +105,101 @@ def test_pallas_warp_full_sweep_per_depth_windows(rng):
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
 
 
+def _corr_setup(rng, hs=48, ws=128, c=16, d=4, spread=0.02, stage="stage3",
+                fullmul=2, yaw=None):
+    cams = make_cams(2, hs * fullmul, ws * fullmul, yaw=yaw)
+    projs = stage_projs(cams)[stage]
+    ref_pair = jnp.asarray(projs[0][None])
+    src_pair = jnp.asarray(projs[1][None])
+    src = jnp.asarray(rng.randn(1, hs, ws, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(1, hs, ws, c).astype(np.float32))
+    base = 6.0 + 1.5 * rng.rand(1, 1, hs, ws).astype(np.float32)
+    offs = (np.arange(d, dtype=np.float32) - d / 2) * spread
+    depths = jnp.asarray(base + offs.reshape(1, d, 1, 1))
+    return src, ref, src_pair, ref_pair, depths
+
+
+def test_warp_corr_fused_matches_xla(rng):
+    """v2 fused warp+correlation kernel == XLA warp_and_correlate."""
+    from diffmvs_tpu.ops.correlation import warp_and_correlate
+    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
+
+    src, ref, sp, rp, depths = _corr_setup(rng)
+    want = np.asarray(jax.jit(
+        lambda *a: warp_and_correlate(*a, 4))(src, ref, sp, rp, depths))
+    got = np.asarray(jax.jit(
+        lambda s, r, a, b, dd: warp_corr_pallas(s, r, a, b, dd, 4,
+                                                interpret=True)
+    )(src, ref, sp, rp, depths))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_warp_corr_sweep_window_groups(rng):
+    """Full uniform sweep through grouped windows (8 planes per DMA),
+    including a depth count not divisible by the group size."""
+    from diffmvs_tpu.ops.correlation import warp_and_correlate
+    from diffmvs_tpu.ops.pallas.warp_corr import (warp_corr_miss_fraction,
+                                                  warp_corr_pallas)
+
+    hs, ws, c, d = 48, 100, 16, 11
+    src, ref, sp, rp, _ = _corr_setup(rng, ws=ws, stage="stage1", fullmul=8)
+    src = src[:, :, :ws]
+    ref = ref[:, :, :ws]
+    sweep = 1.0 / np.linspace(1 / 10.0, 1 / 4.0, d, dtype=np.float32)
+    depths = jnp.asarray(np.broadcast_to(
+        sweep.reshape(1, d, 1, 1), (1, d, hs, ws)).copy())
+
+    miss = float(jax.jit(lambda *a: warp_corr_miss_fraction(
+        *a, window_group=4))(src, sp, rp, depths))
+    assert miss == 0.0
+
+    want = np.asarray(jax.jit(
+        lambda *a: warp_and_correlate(*a, 4))(src, ref, sp, rp, depths))
+    got = np.asarray(jax.jit(
+        lambda s, r, a, b, dd: warp_corr_pallas(
+            s, r, a, b, dd, 4, window_group=4, interpret=True)
+    )(src, ref, sp, rp, depths))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_strong_rotation_guard_triggers(rng):
+    """On a strong-rotation rig the banded kernel drops real samples; the
+    runtime guard must catch it (the model/CLI then fall back to XLA,
+    whose zero-padding semantics are exact —
+    /root/reference/models/module.py:212-215)."""
+    from diffmvs_tpu.ops.correlation import warp_and_correlate
+    from diffmvs_tpu.ops.pallas.warp_corr import (model_miss_fraction,
+                                                  warp_corr_miss_fraction,
+                                                  warp_corr_pallas)
+    from helpers import make_batch
+
+    # DTU-like gentle arc: guard reads ~0
+    batch = make_batch(np.random.RandomState(0), 1, 3, 64, 96, numdepth=32)
+    miss_ok = float(jax.jit(
+        lambda p, dv: model_miss_fraction(p, dv, 64, 96,
+                                          numdepth_initial=8)
+    )(batch["proj_matrices"], batch["depth_values"]))
+    assert miss_ok < 1e-4
+
+    # strong yaw: per-tile epipolar spans blow past the 256-px window
+    # (still stronger rotations push samples out of the image entirely —
+    # then nothing valid is dropped and the kernel is exact again)
+    src, ref, sp, rp, depths = _corr_setup(rng, yaw=0.3, spread=0.2)
+    miss = float(jax.jit(warp_corr_miss_fraction)(src, sp, rp, depths))
+    assert miss > 1e-3, miss
+
+    # ...and the kernel output genuinely differs from XLA there (the
+    # zeroed samples are real): the fallback is load-bearing
+    want = np.asarray(jax.jit(
+        lambda *a: warp_and_correlate(*a, 4))(src, ref, sp, rp, depths))
+    got = np.asarray(jax.jit(
+        lambda s, r, a, b, dd: warp_corr_pallas(s, r, a, b, dd, 4,
+                                                interpret=True)
+    )(src, ref, sp, rp, depths))
+    assert np.abs(got - want).max() > 1e-3
+
+
 def test_pallas_warp_nondivisible_width(rng):
     """W not a multiple of the 64-px tile."""
     src, src_pair, ref_pair, depths = _setup(rng, ws=100)
