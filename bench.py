@@ -14,6 +14,7 @@ fresh RNG per step so nothing can be CSE'd) and fetch a single scalar; the
 per-map time is (total - fetch_floor) / reps.
 """
 
+import argparse
 import json
 import os
 import time
@@ -21,6 +22,139 @@ import time
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 import numpy as np
+
+
+def bench_io(workers: int):
+    """Host input-pipeline throughput at DTU eval resolution (the device
+    target of 20 maps/s needs ~100 decodes+resizes/s on the host;
+    reference feeds its GPU with 8 DataLoader workers, train.py:359-362).
+    Prints its own JSON line (not the judged device metric)."""
+    import tempfile
+
+    from PIL import Image
+
+    from diffmvs_tpu.data.mvs import MVSDataset
+    from diffmvs_tpu.data.pipeline import DataPipeline
+
+    n_views_total, v = 10, 5
+    with tempfile.TemporaryDirectory() as root:
+        scan = os.path.join(root, "scan1")
+        os.makedirs(os.path.join(scan, "images"))
+        os.makedirs(os.path.join(scan, "cams_1"))
+        rng = np.random.RandomState(0)
+        img = (rng.rand(1200, 1600, 3) * 255).astype(np.uint8)
+        for i in range(n_views_total):
+            Image.fromarray(img).save(
+                os.path.join(scan, f"images/{i:08d}.jpg"))
+            k = np.array([[1920.0, 0, 800], [0, 1920.0, 600], [0, 0, 1]])
+            with open(os.path.join(scan, f"cams_1/{i:08d}_cam.txt"),
+                      "w") as f:
+                f.write("extrinsic\n")
+                e = np.eye(4)
+                e[0, 3] = 0.1 * i
+                for r in range(4):
+                    f.write(" ".join(str(e[r, c]) for c in range(4)) + "\n")
+                f.write("\nintrinsic\n")
+                for r in range(3):
+                    f.write(" ".join(str(k[r, c]) for c in range(3)) + "\n")
+                f.write("\n425.0 2.5 192 935.0\n")
+        with open(os.path.join(scan, "pair.txt"), "w") as f:
+            f.write(f"{n_views_total}\n")
+            for i in range(n_views_total):
+                others = [j for j in range(n_views_total) if j != i][:v - 1]
+                f.write(f"{i}\n{len(others)} " + " ".join(
+                    f"{j} {100.0 - j}" for j in others) + "\n")
+
+        ds = MVSDataset(root + "/", v, 384, dataset="dtu", scan=["scan1"])
+        loader = DataPipeline(ds, 1, num_workers=workers)
+        next(iter(loader))                      # warm workers + page cache
+        t0 = time.perf_counter()
+        n = sum(1 for _ in loader)
+        elapsed = time.perf_counter() - t0
+        value = n / elapsed
+        print(json.dumps({
+            "metric": f"host_input_pipeline_dtu_workers{workers}",
+            "value": round(value, 4),
+            "unit": "view_sets/s",
+            "vs_baseline": round(value / 40.0, 4),   # 2x device target
+        }))
+
+
+def bench_train():
+    """Jitted train-step throughput at the reference's training shape
+    (DTU 640x512, B=4, N=5 — train.py:179-231). Prints its own JSON
+    line; tracked so kernel work cannot regress training silently."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from diffmvs_tpu.config import CASDIFFMVS, TrainConfig
+    from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+    from diffmvs_tpu.train.state import create_train_state
+    from diffmvs_tpu.train.step import make_train_step
+    from diffmvs_tpu.utils.synthetic import synthetic_inputs
+
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        b, h, w, nd, nd_init, reps = 1, 64, 96, 32, 8, 2
+    else:
+        b, h, w, nd, nd_init, reps = 4, 512, 640, 384, 48, 4
+
+    model_cfg = dataclasses.replace(
+        CASDIFFMVS, numdepth_initial=nd_init, numdepth=nd,
+        compute_dtype="bfloat16", remat=True)
+    cfg = TrainConfig(model=model_cfg, batch_size=b)
+    model = CasDiffMVS(model_cfg)
+
+    imgs, projs, depth_values = synthetic_inputs(b, 5, h, w, nd)
+    gt = np.full((b, h, w), 6.0, np.float32)
+    depth_ms = {f"stage{i+1}": gt[:, ::s, ::s].copy()
+                for i, s in enumerate((8, 4, 2, 1))}
+    mask_ms = {k: np.ones_like(v) for k, v in depth_ms.items()}
+    batch = {"imgs": imgs, "proj_matrices": projs,
+             "depth_values": depth_values, "depth": depth_ms,
+             "mask": mask_ms}
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=100)
+
+    train_step = make_train_step(model, cfg, donate=False)
+
+    @jax.jit
+    def chained(state, batch, key):
+        def body(carry, i):
+            st = carry
+            new_st, scalars, _ = train_step(
+                st, batch, jax.random.fold_in(key, i))
+            return new_st, scalars["loss"]
+        st, losses = jax.lax.scan(body, state, jnp.arange(reps))
+        return losses[-1]
+
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    key = jax.random.PRNGKey(0)
+    tiny = jax.jit(lambda k: jax.random.uniform(k).sum())
+    float(tiny(key))
+    t0 = time.perf_counter()
+    for i in range(5):
+        float(tiny(jax.random.fold_in(key, i)))
+    floor = (time.perf_counter() - t0) / 5
+
+    float(chained(state, batch, key))
+    t0 = time.perf_counter()
+    float(chained(state, batch, jax.random.fold_in(key, 99)))
+    per_step = max(time.perf_counter() - t0 - floor, 1e-9) / reps
+    value = b / per_step
+    print(json.dumps({
+        "metric": "casdiffmvs_train_dtu640x512_n5_throughput",
+        "value": round(value, 4),
+        "unit": "samples/s/chip",
+        "sec_per_step": round(per_step, 4),
+        "vs_baseline": None,   # reference publishes no training throughput
+    }))
 
 
 def main():
@@ -108,4 +242,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser(
+        description="default: the judged inference-throughput JSON line")
+    parser.add_argument("--io", action="store_true",
+                        help="host input-pipeline throughput instead")
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--train", action="store_true",
+                        help="train-step throughput instead")
+    a = parser.parse_args()
+    if a.io:
+        bench_io(a.workers)
+    elif a.train:
+        bench_train()
+    else:
+        main()

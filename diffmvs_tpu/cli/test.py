@@ -45,6 +45,8 @@ def build_argparser():
     p.add_argument("--geo_depth_thres", type=float, default=0.01)
     p.add_argument("--photo_thres", nargs="+", type=float,
                    default=[0.3, 0.0, 0.0])
+    p.add_argument("--workers", type=int, default=0,
+                   help="input-pipeline worker processes (reference: 2)")
     p.add_argument("--seed", type=int, default=123)
     return p
 
@@ -97,7 +99,8 @@ def save_scene_depth(args, cfg, testlist):
         # batch view-sets within a scene (all share one resolution);
         # the tail batch is padded by repetition to keep one compiled shape
         loader = DataPipeline(ds, args.batch_size, shuffle=False,
-                              drop_last=False)
+                              drop_last=False,
+                              num_workers=args.workers)
         for batch_idx, batch in enumerate(loader):
             bsz = batch["imgs"].shape[0]
             if bsz < args.batch_size:          # pad tail batch

@@ -48,6 +48,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_freq", type=int, default=1)
     p.add_argument("--eval_freq", type=int, default=1)
     p.add_argument("--conf_weight", type=float, default=0.05)
+    p.add_argument("--workers", type=int, default=0,
+                   help="input-pipeline worker processes (reference: 8)")
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--sp", type=int, default=1)
     # model triplet overrides (reference flag compatibility)
@@ -128,9 +130,11 @@ def main(argv=None):
 
     mesh = make_mesh(cfg.dp, cfg.sp)
     train_loader = DataPipeline(train_ds, cfg.batch_size, shuffle=True,
-                                drop_last=True, mesh=mesh, seed=cfg.seed)
+                                drop_last=True, mesh=mesh, seed=cfg.seed,
+                                num_workers=args.workers)
     val_loader = DataPipeline(val_ds, cfg.batch_size, shuffle=False,
-                              drop_last=False, mesh=mesh)
+                              drop_last=False, mesh=mesh,
+                              num_workers=args.workers)
 
     model = CasDiffMVS(cfg.model)
     sample = next(iter(DataPipeline(train_ds, 1)))

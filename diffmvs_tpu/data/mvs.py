@@ -16,7 +16,9 @@ from typing import List, Sequence
 
 import numpy as np
 
-from diffmvs_tpu.data.io import read_cam_file, read_img
+from PIL import Image
+
+from diffmvs_tpu.data.io import read_cam_file
 from diffmvs_tpu.data.resize import resize_image_bilinear
 
 FIXED_WH = {"dtu": (1600, 1152), "tank": (1920, 1056), "eth3d": (1920, 1280)}
@@ -76,8 +78,9 @@ class MVSDataset:
 
     def _scale_adaptive(self, img, intrinsics, base=32):
         """Resize to a multiple of `base` under (max_h, max_w)
-        (mvs.py:104-124)."""
-        h, w = img.shape[:2]
+        (mvs.py:104-124). img: PIL Image (decoded lazily, resampled in
+        uint8 — see resize_image_bilinear)."""
+        w, h = img.size
         if h > self.max_h or w > self.max_w:
             scale_h = self.max_h / h
             scale_w = self.max_w / w
@@ -99,12 +102,12 @@ class MVSDataset:
         for i, vid in enumerate(view_ids):
             base = (self.datapath if self.dataset == "general"
                     else os.path.join(self.datapath, scan))
-            img = read_img(os.path.join(base, f"images/{vid:08d}.jpg"))
+            img = Image.open(os.path.join(base, f"images/{vid:08d}.jpg"))
             intr, extr, depth_min, depth_max = read_cam_file(
                 os.path.join(base, self.cam_folder, f"{vid:08d}_cam.txt"))
 
             if self.dataset != "general":
-                oh, ow = img.shape[:2]
+                ow, oh = img.size
                 img = resize_image_bilinear(img, self.img_wh)
                 intr = intr.copy()
                 intr[0] *= self.img_wh[0] / ow

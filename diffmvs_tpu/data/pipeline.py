@@ -1,19 +1,29 @@
 """Host-side batching + device prefetch.
 
 Replaces the reference's torch DataLoader worker pool
-(/root/reference/train.py:359-362). A background thread assembles numpy
-batches (the datasets are indexable) and a one-deep prefetch overlaps host
-IO with device compute; batches land on device via
-diffmvs_tpu.parallel.shard_batch when a mesh is given.
+(/root/reference/train.py:359-362). Two host-parallelism modes:
+
+  num_workers=0 — a background thread assembles numpy batches and a
+    prefetch queue overlaps host IO with device compute (enough for
+    training-sized resolutions on a single-core host).
+  num_workers>0 — a pool of spawned worker processes decodes/resizes
+    samples in parallel (the DataLoader-workers equivalent; needed to
+    feed >20 maps/s at DTU eval resolution, ~5 decodes+resizes per map).
+
+Workers are jax-free by construction: they only run dataset.__getitem__
+(PIL + numpy) and _collate, so they can never contend for the TPU tunnel
+or XLA locks. Batches land on device via diffmvs_tpu.parallel.shard_batch
+when a mesh is given.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
+import os
 import queue
 import threading
 from typing import Iterator, Optional, Sequence
 
-import jax
 import numpy as np
 
 
@@ -32,12 +42,28 @@ def _collate(samples: Sequence[dict]) -> dict:
     return out
 
 
+def _worker_loop(dataset, in_q, out_q):
+    """Worker process: pull (batch_id, indices), push (batch_id, batch).
+    Must stay jax-free (see module docstring)."""
+    os.environ["OMP_NUM_THREADS"] = "1"
+    while True:
+        item = in_q.get()
+        if item is None:
+            return
+        bid, idx = item
+        try:
+            samples = [dataset[int(i)] for i in idx]
+            out_q.put((bid, _collate(samples)))
+        except Exception as e:                      # surface, don't hang
+            out_q.put((bid, e))
+
+
 class DataPipeline:
     """Iterable over device-ready batches with background prefetch."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, mesh=None, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -45,6 +71,7 @@ class DataPipeline:
         self.mesh = mesh
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self._epoch = 0
 
     def __len__(self):
@@ -66,9 +93,7 @@ class DataPipeline:
             batches.append(idx)
         return batches
 
-    def __iter__(self) -> Iterator[dict]:
-        batches = self._batch_indices()
-        self._epoch += 1
+    def _iter_threaded(self, batches) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -82,11 +107,51 @@ class DataPipeline:
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-
         while True:
             item = q.get()
             if item is stop:
                 break
+            yield item
+
+    def _iter_workers(self, batches) -> Iterator[dict]:
+        # fork on posix (torch DataLoader's choice): spawn re-imports the
+        # caller's __main__, which recursively re-runs unguarded user
+        # scripts. Forked children are safe here because they are jax-free
+        # by construction (dataset __getitem__ + _collate only) and never
+        # touch the inherited XLA/tunnel state.
+        method = "fork" if "fork" in mp.get_all_start_methods() else "spawn"
+        ctx = mp.get_context(method)
+        in_q = ctx.Queue()
+        out_q = ctx.Queue(maxsize=max(2 * self.num_workers, self.prefetch))
+        procs = [ctx.Process(target=_worker_loop,
+                             args=(self.dataset, in_q, out_q), daemon=True)
+                 for _ in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        try:
+            for bid, idx in enumerate(batches):
+                in_q.put((bid, np.asarray(idx)))
+            for _ in procs:
+                in_q.put(None)
+            pending = {}
+            for want in range(len(batches)):
+                while want not in pending:
+                    bid, payload = out_q.get()
+                    if isinstance(payload, Exception):
+                        raise payload
+                    pending[bid] = payload
+                yield pending.pop(want)
+        finally:
+            for p in procs:
+                p.terminate()
+                p.join()
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batch_indices()
+        self._epoch += 1
+        it = (self._iter_workers(batches) if self.num_workers > 0
+              else self._iter_threaded(batches))
+        for item in it:
             if self.mesh is not None:
                 from diffmvs_tpu.parallel.mesh import shard_batch
                 strings = {k: v for k, v in item.items()

@@ -14,11 +14,22 @@ import numpy as np
 from PIL import Image
 
 
-def resize_image_bilinear(img: np.ndarray, size_wh) -> np.ndarray:
-    """img: [H, W, 3] float32 in [0,1]; size_wh: (W, H)."""
-    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-    out = pil.resize(size_wh, Image.BILINEAR)
-    return np.asarray(out, dtype=np.float32) / 255.0
+def resize_image_bilinear(img, size_wh) -> np.ndarray:
+    """img: [H, W, 3] float32 in [0,1], uint8, or a PIL Image;
+    size_wh: (W, H). Returns float32 in [0,1].
+
+    Stays in uint8 through the resample when possible: the f32->u8->f32
+    round-trip costs ~4x the resize itself at DTU eval resolution
+    (profiled; see bench.py --io)."""
+    if isinstance(img, Image.Image):
+        pil = img
+    elif img.dtype == np.uint8:
+        pil = Image.fromarray(img)
+    else:
+        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    if pil.size != tuple(size_wh):
+        pil = pil.resize(tuple(size_wh), Image.BILINEAR)
+    return np.asarray(pil, dtype=np.float32) / 255.0
 
 
 def _nearest_indices(dst: int, src: int) -> np.ndarray:

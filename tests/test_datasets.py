@@ -184,3 +184,34 @@ def test_scene_lists(tmp_path):
         assert lines == list(scenes)
     assert len(ALL_LISTS["dtu/train.txt"]) == 79
     assert len(ALL_LISTS["blend/train.txt"]) == 106
+
+
+def test_pipeline_worker_processes(tmp_path):
+    """num_workers>0 (spawned decode workers) yields byte-identical
+    batches, in order, vs the threaded pipeline."""
+    import numpy as np
+
+    from diffmvs_tpu.data.blend import MVSDataset
+    from diffmvs_tpu.data.pipeline import DataPipeline
+    from test_train_loop import _make_blend_scene
+
+    scan = "wscan"
+    _make_blend_scene(tmp_path, scan, n_views=5, h=32, w=48)
+    listfile = tmp_path / "list.txt"
+    listfile.write_text(scan + "\n")
+    ds = MVSDataset(str(tmp_path), str(listfile), "test", 3, 16)
+
+    ref_batches = list(DataPipeline(ds, 2, shuffle=False, drop_last=False))
+    got_batches = list(DataPipeline(ds, 2, shuffle=False, drop_last=False,
+                                    num_workers=2))
+    assert len(got_batches) == len(ref_batches) > 0
+    for a, b in zip(ref_batches, got_batches):
+        assert a.keys() == b.keys()
+        for k in a:
+            if isinstance(a[k], dict):
+                for kk in a[k]:
+                    np.testing.assert_array_equal(a[k][kk], b[k][kk])
+            elif isinstance(a[k], list):
+                assert a[k] == b[k]
+            else:
+                np.testing.assert_array_equal(a[k], b[k])
