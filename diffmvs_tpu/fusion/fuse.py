@@ -235,6 +235,25 @@ def filter_depth(pair_folder: str, out_folder: str, plyfilename: str,
     print("saving the final model to", plyfilename)
 
 
+@functools.partial(jax.jit, static_argnames=("dh_view_num",))
+def _dynamic_mask_family(dist, rel, depth_reproj, valid, ref_depth,
+                         dist_div, rel_div, dh_view_num):
+    """D2HC mask family i in [dh_view_num, 10] on device
+    (filter.py:253-257, 378-380): accept a pixel if >= i source views are
+    consistent at the i-th loosest thresholds for any i, or >= 10 views at
+    the strict thresholds. Also returns the strict-mask depth average."""
+    valid_b = valid[:, None, None]
+    strict = (dist < 10.0 / dist_div) & (rel < 10.0 / rel_div) & valid_b
+    geo_mask_sum = strict.sum(0)
+    geo_mask = geo_mask_sum >= 10
+    for i in range(dh_view_num, 11):
+        mi = ((dist < i / dist_div) & (rel < i / rel_div) & valid_b).sum(0)
+        geo_mask |= mi >= i
+    depth_masked = jnp.where(strict, depth_reproj, 0.0)
+    depth_avg = (depth_masked.sum(0) + ref_depth) / (geo_mask_sum + 1)
+    return geo_mask, depth_avg
+
+
 def filter_depth_dynamic(scan: str, pair_folder: str, out_folder: str,
                          plyfilename: str, photo_thres=(0.3, 0.5, 0.5),
                          method: str = "casdiffmvs",
@@ -277,25 +296,12 @@ def filter_depth_dynamic(scan: str, pair_folder: str, out_folder: str,
             jnp.float32(depth_min), jnp.float32(10.0 / dist_div),
             jnp.float32(10.0 / rel_div))
 
-        dist = np.asarray(dist)
-        rel = np.asarray(rel)
-        depth_reproj = np.asarray(depth_reproj)
-        valid = valid_np[:, None, None]
-
-        # mask family i in [dh_view_num, 10] (filter.py:253-257)
-        geo_mask_sums = {}
-        for i in range(dh_view_num, 11):
-            mi = (dist < i / dist_div) & (rel < i / rel_div) & valid
-            geo_mask_sums[i] = mi.sum(0)
-        strict = (dist < 10 / dist_div) & (rel < 10 / rel_div) & valid
-        geo_mask_sum = strict.sum(0)
-
-        geo_mask = geo_mask_sum >= 10
-        for i in range(dh_view_num, 11):
-            geo_mask |= geo_mask_sums[i] >= i
-
-        depth_masked = np.where(strict, depth_reproj, 0.0)
-        depth_avg = (depth_masked.sum(0) + ref_depth) / (geo_mask_sum + 1)
+        geo_mask, depth_avg = _dynamic_mask_family(
+            dist, rel, depth_reproj, jnp.asarray(valid_np),
+            jnp.asarray(ref_depth), jnp.float32(dist_div),
+            jnp.float32(rel_div), dh_view_num)
+        geo_mask = np.asarray(geo_mask)
+        depth_avg = np.asarray(depth_avg)
         mask_depth = (depth_avg >= depth_min) & (depth_avg <= depth_max)
 
         final_mask = photo_mask & geo_mask & mask_depth

@@ -254,14 +254,67 @@ def score_pairs(images, points3d, extrinsics, descriptors=None):
     return ids, score
 
 
+# ImageNet statistics for the retrieval ViT's input normalization
+# (the reference's torchvision Normalize, colmap_input.py:294-329)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def compute_image_descriptors(dense_folder: str, images,
+                              checkpoint: str = None, vit_cfg=None):
+    """Encode every sparse-model image into a 256-d global descriptor
+    for retrieval-based view selection (the reference's --VGGT mode,
+    colmap_input.py:294-329): resize to the ViT input size, ImageNet
+    normalization, R2Former DeiT-distilled ViT, L2-normalized output.
+
+    checkpoint: optional torch R2Former .pth (timm key layout); random
+    init otherwise (tests). Returns {image_id: [256] unit vector}."""
+    import jax
+    from PIL import Image
+
+    from diffmvs_tpu.tools.retrieval import (DistilledViT, ViTConfig,
+                                             compute_descriptors,
+                                             import_timm_state_dict)
+
+    cfg = vit_cfg or ViTConfig()
+    ids = sorted(images.keys())
+    arrs = []
+    for iid in ids:
+        path = os.path.join(dense_folder, "images", images[iid].name)
+        pil = Image.open(path).convert("RGB").resize(
+            (cfg.image_size, cfg.image_size), Image.BILINEAR)
+        x = np.asarray(pil, np.float32) / 255.0
+        arrs.append((x - IMAGENET_MEAN) / IMAGENET_STD)
+    batch_imgs = np.stack(arrs)
+
+    if checkpoint:
+        import torch
+        sd = torch.load(checkpoint, map_location="cpu",
+                        weights_only=False)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        variables = import_timm_state_dict(sd, cfg)
+    else:
+        variables = DistilledViT(cfg).init(jax.random.PRNGKey(0),
+                                           batch_imgs[:1])
+    desc = compute_descriptors(variables, batch_imgs, cfg)
+    return {iid: desc[i] for i, iid in enumerate(ids)}
+
+
 def convert(dense_folder: str, save_folder: str, model_ext: str = ".bin",
-            num_src: int = 10, descriptors=None):
+            num_src: int = 10, descriptors=None, vggt: bool = False,
+            retrieval_ckpt: str = None, vit_cfg=None):
     """COLMAP sparse model -> cams/%08d_cam.txt + pair.txt + images/
     (colmap_input.py:246-452)."""
     sparse = os.path.join(dense_folder, "sparse")
     if not os.path.isdir(sparse):
         sparse = dense_folder
     cameras, images, points3d = read_model(sparse, model_ext)
+
+    if vggt and descriptors is None:
+        descriptors = compute_image_descriptors(
+            dense_folder, images, checkpoint=retrieval_ckpt,
+            vit_cfg=vit_cfg)
 
     os.makedirs(os.path.join(save_folder, "cams"), exist_ok=True)
     os.makedirs(os.path.join(save_folder, "images"), exist_ok=True)
@@ -340,9 +393,16 @@ def main(argv=None):
     p.add_argument("--save_folder", required=True)
     p.add_argument("--model_ext", default=".bin", choices=[".bin", ".txt"])
     p.add_argument("--num_src", type=int, default=10)
+    p.add_argument("--vggt", action="store_true",
+                   help="score view pairs with R2Former global "
+                        "descriptors instead of triangulation angles "
+                        "(colmap_input.py:292-329,392-395)")
+    p.add_argument("--retrieval_ckpt", default=None,
+                   help="R2Former .pth checkpoint for --vggt")
     args = p.parse_args(argv)
     convert(args.dense_folder, args.save_folder, args.model_ext,
-            args.num_src)
+            args.num_src, vggt=args.vggt,
+            retrieval_ckpt=args.retrieval_ckpt)
 
 
 if __name__ == "__main__":

@@ -90,3 +90,56 @@ def test_convert_end_to_end(tmp_path):
         # nearest baseline should score highest
         srcs = [int(t) for t in tokens[1::2]]
         assert set(srcs) <= {0, 1, 2}
+
+
+def test_convert_vggt_mode(tmp_path):
+    """--vggt view selection: images -> ImageNet-normalized ViT
+    descriptors -> dot-product pair scores (colmap_input.py:294-329,
+    392-395). Tiny random-weight ViT keeps it fast."""
+    from diffmvs_tpu.tools.retrieval import ViTConfig
+
+    _write_sparse(tmp_path)
+    out = tmp_path / "mvs_vggt"
+    tiny = ViTConfig(image_size=32, patch_size=16, embed_dim=32, depth=1,
+                     num_heads=2, num_classes=16)
+    convert(str(tmp_path), str(out), model_ext=".txt", num_src=2,
+            vggt=True, vit_cfg=tiny)
+
+    with open(out / "pair.txt") as f:
+        assert int(f.readline()) == 3
+        entries = {}
+        for _ in range(3):
+            ref = int(f.readline())
+            toks = f.readline().split()
+            n = int(toks[0])
+            entries[ref] = [(int(toks[1 + 2 * i]), float(toks[2 + 2 * i]))
+                            for i in range(n)]
+    # descriptor dot products of unit vectors: scores in [-1, 1],
+    # symmetric, and every ref has the requested 2 sources
+    for ref, lst in entries.items():
+        assert len(lst) == 2
+        for j, s in lst:
+            assert -1.0 - 1e-5 <= s <= 1.0 + 1e-5
+            back = dict(entries[j])
+            if ref in back:
+                assert abs(back[ref] - s) < 1e-4
+
+
+def test_cli_vggt_flag(tmp_path, monkeypatch):
+    """CLI --vggt path end-to-end (tiny ViT patched in)."""
+    import diffmvs_tpu.tools.colmap as colmap_mod
+    from diffmvs_tpu.tools.retrieval import ViTConfig
+
+    _write_sparse(tmp_path)
+    out = tmp_path / "mvs_cli"
+    tiny = ViTConfig(image_size=32, patch_size=16, embed_dim=32, depth=1,
+                     num_heads=2, num_classes=16)
+    orig = colmap_mod.compute_image_descriptors
+    monkeypatch.setattr(
+        colmap_mod, "compute_image_descriptors",
+        lambda folder, images, checkpoint=None, vit_cfg=None:
+        orig(folder, images, checkpoint=checkpoint, vit_cfg=tiny))
+    colmap_mod.main(["--dense_folder", str(tmp_path),
+                     "--save_folder", str(out),
+                     "--model_ext", ".txt", "--num_src", "2", "--vggt"])
+    assert (out / "pair.txt").exists()
