@@ -102,12 +102,15 @@ class CasDiffMVS(nn.Module):
         self.update_blocks = stages
 
     def __call__(self, imgs, proj_matrices, depth_values, depth_gt=None,
-                 rng=None, train: bool = False, export: bool = False):
+                 rng=None, train: bool = False, export: bool = False,
+                 train_overrides=None):
         """train=True: training branch (q_sample), full intermediate lists.
         train=False, export=False: DDIM eval but full lists (the reference's
           in-training validation, test=False + model.eval()).
         train=False, export=True: DDIM eval, final depth + full-res
           confidences only (the reference's test.py path, test=True).
+        train_overrides: optional {stage_idx: (t [B], noise [B,Hs,Ws])}
+          replacing each stage's rng draw (reproducibility/parity seam).
         """
         cfg = self.cfg
         b, v = imgs.shape[0], imgs.shape[1]
@@ -204,11 +207,14 @@ class CasDiffMVS(nn.Module):
                 if rng is not None:
                     stage_rng = jax.random.fold_in(rng, stage_idx)
 
+                t_noise = None
+                if train_overrides is not None:
+                    t_noise = train_overrides.get(stage_idx)
                 mask, _, inv_seq, conf_seq = self.update_blocks[block_i](
                     inv_cur, hidden_d, ctx, feat_list, proj_stage,
                     depth_min, depth_max, vw_stage,
                     gt_inv_depth=inv_gt, inv_init_depth=inv_init,
-                    rng=stage_rng, train=train)
+                    rng=stage_rng, train=train, t_noise=t_noise)
 
                 if not export:
                     for inv_i in inv_seq:

@@ -154,8 +154,12 @@ class RefinementStage(nn.Module):
 
     def train_forward(self, inv_depth, hidden, context, gt_inv_depth,
                       inv_init_depth, rng, features, proj_pairs,
-                      depth_min, depth_max, view_weights):
-        """Training branch (update.py:423-464). All maps [B, H, W]."""
+                      depth_min, depth_max, view_weights, t_noise=None):
+        """Training branch (update.py:423-464). All maps [B, H, W].
+
+        t_noise: optional explicit (t [B] int32, noise [B,H,W]) pair
+        replacing the rng draw — the reproducibility/parity seam (torch
+        RNG cannot be matched bit-for-bit, SURVEY.md §7.5)."""
         b = inv_depth.shape[0]
         sched = self.schedule
 
@@ -163,9 +167,14 @@ class RefinementStage(nn.Module):
                                  gt_inv_depth)
         gt_delta = jax.lax.stop_gradient(gt_inv_depth - inv_depth)
 
-        kt, kn = jax.random.split(rng)
-        t = jax.random.randint(kt, (b,), 0, sched.timesteps)
-        noise = _noise_like(kn, gt_delta, sched.scale)
+        if t_noise is not None:
+            t, noise = t_noise
+            t = jnp.asarray(t, jnp.int32)
+            noise = jnp.asarray(noise, gt_delta.dtype)
+        else:
+            kt, kn = jax.random.split(rng)
+            t = jax.random.randint(kt, (b,), 0, sched.timesteps)
+            noise = _noise_like(kn, gt_delta, sched.scale)
 
         delta = sched.q_sample(gt_delta, t, noise)
         inv_depth_new = jnp.clip(inv_depth + delta, 0.0, 1.0)
@@ -226,12 +235,14 @@ class RefinementStage(nn.Module):
 
     def __call__(self, inv_depth, hidden, context, features, proj_pairs,
                  depth_min, depth_max, view_weights, gt_inv_depth=None,
-                 inv_init_depth=None, rng=None, train: bool = False):
+                 inv_init_depth=None, rng=None, train: bool = False,
+                 t_noise=None):
         if train:
             return self.train_forward(inv_depth, hidden, context,
                                       gt_inv_depth, inv_init_depth, rng,
                                       features, proj_pairs, depth_min,
-                                      depth_max, view_weights)
+                                      depth_max, view_weights,
+                                      t_noise=t_noise)
         return self.eval_forward(inv_depth, hidden, context, rng, features,
                                  proj_pairs, depth_min, depth_max,
                                  view_weights)

@@ -84,3 +84,53 @@ def test_full_model_parity(preset):
     for c_ours, c_ref in zip(confs[1:], ref_confs[1:]):
         np.testing.assert_allclose(
             c_ours, c_ref.numpy(), rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("preset", [CASDIFFMVS, DIFFMVS],
+                         ids=["casdiffmvs", "diffmvs"])
+def test_full_scale_parity(preset):
+    """Benchmark-scale parity: 800x576, nd 384/48, N=5 — the DTU eval
+    configuration at half linear resolution (README.md:165-170 north star
+    is <0.5% mean rel-error vs the reference). Catches the
+    resolution-dependent bug classes the 64x96 test cannot: padding at
+    odd pyramid sizes, sampling-window misses, accumulation drift.
+    Runs in minutes on CPU — marked slow (--run-slow)."""
+    cfg = dataclasses.replace(preset, numdepth_initial=48, numdepth=384)
+    h, w, v = 576, 800, 5
+
+    torch.manual_seed(0)
+    gen = torch.Generator().manual_seed(1)
+    oracle = CasDiffMVSOracle(cfg)
+    _randomize_bn_stats(oracle, gen)
+    oracle.eval()
+
+    batch = make_batch(np.random.RandomState(0), 1, v, h, w, numdepth=384)
+    imgs_t = torch.from_numpy(batch["imgs"]).permute(0, 1, 4, 2, 3)
+    projs_t = {k: torch.from_numpy(x)
+               for k, x in batch["proj_matrices"].items()}
+    dv_t = torch.from_numpy(batch["depth_values"])
+
+    with torch.no_grad():
+        ref_depths, ref_confs = oracle(imgs_t, projs_t, dv_t)
+
+    variables = import_torch_state_dict(oracle.state_dict(), cfg)
+    model = CasDiffMVS(cfg)
+    out = jax.jit(
+        lambda vv, bb: model.apply(
+            {"params": vv["params"], "batch_stats": vv["batch_stats"]},
+            bb["imgs"], bb["proj_matrices"], bb["depth_values"],
+            rng=None, train=False, export=True)
+    )(variables, batch)
+
+    final = np.asarray(out["depth"][-1])
+    ref_final = ref_depths[-1].numpy()
+    rel = np.abs(final - ref_final) / np.abs(ref_final)
+    assert rel.mean() < 0.005, f"mean rel-error {rel.mean():.2e}"
+    # and much tighter in practice (same f32 weights, same math)
+    np.testing.assert_allclose(final, ref_final, rtol=5e-3, atol=5e-3)
+    for c_ours, c_ref in zip(
+            [np.asarray(c) for c in out["photometric_confidence"]],
+            ref_confs):
+        np.testing.assert_allclose(c_ours, c_ref.numpy(),
+                                   rtol=5e-3, atol=5e-3)

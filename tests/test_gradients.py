@@ -58,3 +58,147 @@ def test_gradient_seams():
     # reference's no_grad block -> exactly zero
     for stage, g in g_projs.items():
         assert float(jnp.abs(g).max()) == 0.0, stage
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            yield from _flatten(tree[k], prefix + (k,))
+    else:
+        yield "/".join(prefix), np.asarray(tree)
+
+
+def test_full_model_gradient_parity():
+    """Full-model training-branch gradient parity vs the torch oracle.
+
+    Same weights (via the checkpoint importer), same injected diffusion
+    timesteps/noise (the t_noise seam — torch RNG cannot be matched),
+    same batch with invalid-GT pixels and a partial mask: the loss value
+    and every parameter gradient must match. A silently misplaced
+    stop_gradient would train to a worse model with no test failing —
+    this is the test (update.py:423-464, train.py:179-231)."""
+    import torch
+    from diffmvs_tpu.tools.torch_import import import_torch_state_dict
+    from torch_oracle import CasDiffMVSOracle
+    from test_loss import _torch_inverse_loss  # noqa: F401 (torch ref loss)
+
+    cfg = dataclasses.replace(CASDIFFMVS, numdepth_initial=8, numdepth=32)
+    b, v, h, w = 2, 3, 64, 96
+
+    torch.manual_seed(0)
+    oracle = CasDiffMVSOracle(cfg)
+    oracle.train()
+
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, b, v, h, w, numdepth=32, with_gt=True)
+    # invalid-GT pixels (pseudo-GT path) + partial masks
+    for s, arr in batch["depth"].items():
+        arr[:, :2, :3] = 0.0
+        batch["mask"][s] = (rng.rand(*arr.shape) > 0.25).astype(np.float32)
+
+    # injected diffusion timesteps + noise per refinement stage
+    t_noise_np = {}
+    for s in (1, 2):
+        hs, ws = h // (8 // 2 ** s), w // (8 // 2 ** s)
+        t = rng.randint(0, cfg.timesteps[s], size=(b,)).astype(np.int64)
+        noise = (cfg.scale[s] * rng.randn(b, 1, hs, ws)).astype(np.float32)
+        t_noise_np[s] = (t, noise)
+
+    # ---------------- torch forward + backward ----------------
+    imgs_t = torch.from_numpy(batch["imgs"]).permute(0, 1, 4, 2, 3)
+    projs_t = {k: torch.from_numpy(vv)
+               for k, vv in batch["proj_matrices"].items()}
+    dv_t = torch.from_numpy(batch["depth_values"])
+    gt_t = {k: torch.from_numpy(vv) for k, vv in batch["depth"].items()}
+    tn_t = {s: (torch.from_numpy(t), torch.from_numpy(n))
+            for s, (t, n) in t_noise_np.items()}
+
+    depths_t, confs_t = oracle.forward_train(imgs_t, projs_t, dv_t, gt_t,
+                                             tn_t)
+    # differentiable torch port of loss.py:6-74
+    from diffmvs_tpu.models.loss import loss_layout
+    stage_id, conf_flag = loss_layout(cfg.stage_iters)
+    disp_min = dv_t[:, 0][:, None, None]
+    disp_max = dv_t[:, -1][:, None, None]
+    dmax_t, dmin_t = 1.0 / disp_min, 1.0 / disp_max
+
+    def t_to_disp(d):
+        return (1.0 / d - 1.0 / dmax_t) / (1.0 / dmin_t - 1.0 / dmax_t)
+
+    total_t = 0.0
+    ci = 0
+    n = len(depths_t)
+    for i, d in enumerate(depths_t):
+        est = t_to_disp(d)
+        gt = gt_t[f"stage{stage_id[i]}"]
+        gt = torch.where(gt > 1e-4, gt, dmax_t.expand_as(gt))
+        gt = t_to_disp(gt)
+        m = torch.from_numpy(batch["mask"][f"stage{stage_id[i]}"]) > 0.5
+        if conf_flag[i]:
+            u = torch.clamp(1 - confs_t[ci], min=1e-6)
+            ci += 1
+            li = ((est - gt).abs() / u + 0.05 * torch.log(u))[m].mean()
+        else:
+            li = (est[m] - gt[m]).abs().mean()
+        total_t = total_t + 0.9 ** (n - i - 1) * li
+    total_t.backward()
+
+    grad_sd = {}
+    for name, p in oracle.named_parameters():
+        grad_sd[name] = (p.grad if p.grad is not None
+                         else torch.zeros_like(p)).detach().clone()
+    for name, buf in oracle.named_buffers():
+        grad_sd[name] = torch.zeros_like(buf)
+    # the importer's layout transforms are pure permutations, so running a
+    # gradient "state dict" through it yields the reference grads as a
+    # flax-param tree directly
+    ref_grads = import_torch_state_dict(grad_sd, cfg)["params"]
+
+    # ---------------- jax forward + backward ----------------
+    variables = import_torch_state_dict(oracle.state_dict(), cfg)
+    model = CasDiffMVS(cfg)
+    overrides = {s: (jnp.asarray(t), jnp.asarray(n[:, 0]))
+                 for s, (t, n) in t_noise_np.items()}
+
+    @jax.jit
+    def loss_and_grads(params):
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                batch["imgs"], batch["proj_matrices"],
+                batch["depth_values"], depth_gt=batch["depth"], rng=None,
+                train=True, train_overrides=overrides,
+                mutable=["batch_stats"])
+            loss, _ = compute_inverse_loss(
+                out["depth"], out["conf"], batch["depth"], batch["mask"],
+                batch["depth_values"], cfg.stage_iters, 0.9, 0.05)
+            return loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss_j, grads_j = loss_and_grads(variables["params"])
+
+    np.testing.assert_allclose(float(loss_j), float(total_t), rtol=2e-4)
+
+    ours = dict(_flatten(grads_j))
+    ref = dict(_flatten(ref_grads))
+    assert set(ours) == set(ref)
+
+    flat_ours = np.concatenate([ours[k].ravel() for k in sorted(ours)])
+    flat_ref = np.concatenate([ref[k].ravel() for k in sorted(ref)])
+    global_cos = float(
+        (flat_ours * flat_ref).sum()
+        / max(np.linalg.norm(flat_ours) * np.linalg.norm(flat_ref), 1e-30))
+    assert global_cos > 0.9999, global_cos
+
+    scale = float(np.abs(flat_ref).max())
+    for k in sorted(ref):
+        a, r = ours[k].ravel(), ref[k].ravel()
+        nr = np.linalg.norm(r)
+        if nr < 1e-7 * scale:       # numerically dead leaf — skip cosine
+            assert np.linalg.norm(a) < 1e-5 * scale + 1e-12, k
+            continue
+        cos = float((a * r).sum() / max(np.linalg.norm(a) * nr, 1e-30))
+        assert cos > 0.999, (k, cos)
+        # norm ratio with an absolute floor: leaves whose whole gradient
+        # is ~1e-5 of the largest are float-noise-dominated
+        assert abs(np.linalg.norm(a) - nr) < 0.02 * nr + 1e-5 * scale, k

@@ -457,31 +457,30 @@ class CasDiffMVSOracle(nn.Module):
         agg = num / den
         return agg.reshape(b, -1, *agg.shape[3:]), samples
 
-    def forward(self, imgs, projs_ms, depth_values):
-        cfg = self.cfg
+    def _backbone(self, imgs):
+        """Features for all views + context for ref. Views are folded into
+        the batch (identical in eval mode since every op is per-sample;
+        in train mode this matches the framework's joint-BN-stats design,
+        casdiffmvs.py:133-136)."""
         b, v = imgs.shape[:2]
-        disp_min = depth_values[:, 0].view(-1, 1, 1, 1)
-        disp_max = depth_values[:, -1].view(-1, 1, 1, 1)
-        dmax = 1.0 / disp_min
-        dmin = 1.0 / disp_max
-        interval = 1.0 / depth_values.shape[1]
         f = self.feature
+        x = imgs.reshape(b * v, *imgs.shape[2:])
+        c0 = f.conv0(x)
+        c1 = f.conv1(c0)
+        c2 = f.conv2(c1)
+        c3 = f.conv3(c2)
 
-        feats_ms = {1: [], 2: [], 3: []}
-        for i in range(v):
-            x = imgs[:, i]
-            c0 = f.conv0(x)
-            c1 = f.conv1(c0)
-            c2 = f.conv2(c1)
-            c3 = f.conv3(c2)
-            feats_ms[1].append(f.out1(c3))
-            intra = F.interpolate(c3, scale_factor=2,
-                                  mode="nearest") + f.inner1(c2)
-            feats_ms[2].append(f.out2(intra))
-            if hasattr(f, "out3"):
-                intra = F.interpolate(intra, scale_factor=2,
-                                      mode="nearest") + f.inner2(c1)
-                feats_ms[3].append(f.out3(intra))
+        def unfold(t):
+            return list(t.view(b, v, *t.shape[1:]).unbind(1))
+
+        feats_ms = {1: unfold(f.out1(c3)), 2: [], 3: []}
+        intra = F.interpolate(c3, scale_factor=2,
+                              mode="nearest") + f.inner1(c2)
+        feats_ms[2] = unfold(f.out2(intra))
+        if hasattr(f, "out3"):
+            intra = F.interpolate(intra, scale_factor=2,
+                                  mode="nearest") + f.inner2(c1)
+            feats_ms[3] = unfold(f.out3(intra))
 
         c = self.context
         x = c.conv1(imgs[:, 0])
@@ -493,8 +492,13 @@ class CasDiffMVSOracle(nn.Module):
         ctxs[2] = c.output2(x)
         x = c.layer3(x)
         ctxs[1] = c.output1(x)
+        return feats_ms, ctxs
 
-        depths, confidences = [], []
+    def _stage0(self, imgs, projs_ms, feats_ms, ctxs, dmin, dmax):
+        """Initial depth at 1/8 + x2 convex upsample; returns
+        (depth0, up_depth, conf0, vw_detached, init_depth)."""
+        cfg = self.cfg
+        b = imgs.shape[0]
         d0 = cfg.numdepth_initial
         h1, w1 = feats_ms[1][0].shape[2:]
         samples = torch.arange(d0, dtype=torch.float32).view(1, d0, 1, 1) \
@@ -503,14 +507,30 @@ class CasDiffMVSOracle(nn.Module):
         ctx0 = F.relu(ctxs[1])
         inv0, depth0, vw, conf0 = self._initial(
             feats_ms[1], ctx0, projs_ms["stage1"], depth_hyp, dmin, dmax)
-        depths.append(depth0)
-        confidences.append(F.interpolate(conf0.unsqueeze(1), scale_factor=8,
-                                         mode="nearest").squeeze(1))
         mask0 = 0.25 * self.depthnet.mask(ctx0)
         inv_up = unfold_upsample(inv0.unsqueeze(1),
                                  mask0.view(b, -1, h1, w1), 2)
-        depths.append(d2d(inv_up.unsqueeze(1), dmin, dmax).squeeze(1))
-        vw = vw.detach()
+        up_depth = d2d(inv_up.unsqueeze(1), dmin, dmax).squeeze(1)
+        return depth0, up_depth, conf0, vw.detach()
+
+    def forward(self, imgs, projs_ms, depth_values):
+        cfg = self.cfg
+        b, v = imgs.shape[:2]
+        disp_min = depth_values[:, 0].view(-1, 1, 1, 1)
+        disp_max = depth_values[:, -1].view(-1, 1, 1, 1)
+        dmax = 1.0 / disp_min
+        dmin = 1.0 / disp_max
+        interval = 1.0 / depth_values.shape[1]
+
+        feats_ms, ctxs = self._backbone(imgs)
+
+        depths, confidences = [], []
+        depth0, up_depth, conf0, vw = self._stage0(
+            imgs, projs_ms, feats_ms, ctxs, dmin, dmax)
+        depths.append(depth0)
+        confidences.append(F.interpolate(conf0.unsqueeze(1), scale_factor=8,
+                                         mode="nearest").squeeze(1))
+        depths.append(up_depth)
 
         for s in (1, 2):
             if cfg.stage_iters[s] == 0:
@@ -572,3 +592,102 @@ class CasDiffMVSOracle(nn.Module):
             depths.append(d2d(inv_up.unsqueeze(1), dmin, dmax).squeeze(1))
 
         return depths, confidences
+
+    # ---------------- forward (training branch, injected t/noise) ----------
+
+    def _schedule_tables(self, timesteps):
+        steps = timesteps + 1
+        x = np.linspace(0, timesteps, steps, dtype=np.float64)
+        ac = np.cos(((x / timesteps) + 0.008) / 1.008 * math.pi * 0.5) ** 2
+        ac = ac / ac[0]
+        betas = np.clip(1 - ac[1:] / ac[:-1], 0, 0.999)
+        ac = np.cumprod(1.0 - betas)
+        return (torch.from_numpy(np.sqrt(ac)).float(),
+                torch.from_numpy(np.sqrt(1.0 - ac)).float())
+
+    def forward_train(self, imgs, projs_ms, depth_values, depth_gt_ms,
+                      t_noise):
+        """Training branch: q_sample of the GT residual at injected
+        timesteps/noise, per-iteration detaches, full intermediate lists
+        (update.py:423-464 + diffusion.py train path). t_noise maps
+        stage_idx (1, 2) -> (t [B] long, noise [B,1,Hs,Ws])."""
+        cfg = self.cfg
+        b, v = imgs.shape[:2]
+        disp_min = depth_values[:, 0].view(-1, 1, 1, 1)
+        disp_max = depth_values[:, -1].view(-1, 1, 1, 1)
+        dmax = 1.0 / disp_min
+        dmin = 1.0 / disp_max
+        interval = 1.0 / depth_values.shape[1]
+
+        feats_ms, ctxs = self._backbone(imgs)
+        depths, confs = [], []
+        depth0, up_depth, _, vw = self._stage0(
+            imgs, projs_ms, feats_ms, ctxs, dmin, dmax)
+        depths.append(depth0)
+        depths.append(up_depth)
+
+        for s in (1, 2):
+            if cfg.stage_iters[s] == 0:
+                continue
+            blk = getattr(self, f"update_block_depth{s + 1}")
+            feats = feats_ms[s + 1]
+            projs = projs_ms[f"stage{s + 1}"]
+            ctx_full = ctxs[s + 1]
+            cur = depths[-1].unsqueeze(1).detach()
+            inv_cur = to_disp(cur, dmin, dmax)
+            vw_s = F.interpolate(vw, scale_factor=2 ** s, mode="nearest")
+
+            hidden = ctx_full[:, :cfg.hidden_dim[s]]
+            ctx = F.relu(ctx_full[:, cfg.hidden_dim[s]:])
+            hidden = torch.tanh(self.hidden_init[s - 1](hidden))
+
+            # pseudo-GT for invalid pixels (diffusion.py:236-241)
+            init_up = F.interpolate(depth0.unsqueeze(1), scale_factor=2 ** s,
+                                    mode="nearest")
+            inv_init = to_disp(init_up, dmin, dmax).detach()
+            gt = depth_gt_ms[f"stage{s + 1}"].unsqueeze(1)
+            inv_gt = to_disp(gt, dmin, dmax)
+            inv_gt = torch.where(torch.isinf(inv_gt), inv_init, inv_gt)
+            gt_delta = (inv_gt - inv_cur).detach()
+
+            t, noise = t_noise[s]
+            sa, so = self._schedule_tables(cfg.timesteps[s])
+            sa_t = sa[t].view(-1, 1, 1, 1)
+            so_t = so[t].view(-1, 1, 1, 1)
+            delta = sa_t * gt_delta + so_t * noise
+            inv_new = torch.clamp(inv_cur + delta, 0, 1)
+            delta = inv_new - inv_cur
+
+            conf = None
+            cur_hidden = hidden
+            for _ in range(cfg.stage_iters[s]):
+                delta = delta.detach()
+                if conf is not None:
+                    conf = conf.detach()
+                inv_new = inv_new.detach()
+                cost, samp = self._local_cost(
+                    inv_new, feats, projs,
+                    interval * (4, 2, 1)[s], dmin, dmax,
+                    cfg.cost_num[s], cfg.cost_dim_stage[s], vw_s, conf,
+                    cfg.min_radius, cfg.max_radius)
+                cf = F.relu(blk.encoder.convc1(cost))
+                cf = F.relu(blk.encoder.convc2(cf))
+                df = F.relu(blk.encoder.convd1(samp))
+                df = F.relu(blk.encoder.convd2(df))
+                enc = F.relu(blk.encoder.output(torch.cat([cf, df], 1)))
+                enc = torch.cat([enc, inv_new], 1)
+                cur_hidden, upd, conf2 = blk.unet(
+                    torch.cat([ctx, enc], 1), cur_hidden, t)
+                conf = conf2.squeeze(1)
+                confs.append(conf)
+                delta = delta + upd
+                inv_new = inv_cur + delta
+                inv_new = torch.clamp(inv_new, 0, 1)
+                delta = inv_new - inv_cur
+                depths.append(d2d(inv_new, dmin, dmax).squeeze(1))
+
+            mask = 0.25 * blk.mask(ctx)
+            inv_up = unfold_upsample(inv_new, mask, self.up_ratio)
+            depths.append(d2d(inv_up.unsqueeze(1), dmin, dmax).squeeze(1))
+
+        return depths, confs

@@ -55,7 +55,8 @@ def main(selected):
 
     cfg = dataclasses.replace(
         CASDIFFMVS, numdepth_initial=ND_INIT, numdepth=ND,
-        compute_dtype="bfloat16", warp_kernel="pallas" if tpu else "xla")
+        compute_dtype="bfloat16",
+        warp_kernel="pallas_full" if tpu else "xla")
     dt = cfg.dtype
 
     imgs, projs, depth_values = synthetic_inputs(B, V, H, W, ND)
