@@ -146,10 +146,15 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
     cor_list = []
     if warp_kernel in ("pallas", "pallas_full"):
         # fused warp+correlation Pallas kernel (refinement hypotheses are
-        # banded). One call per (view, sample): a single stacked launch
-        # over views x batch measured SLOWER end-to-end (2.82 vs 3.22
-        # maps/s with the v1 kernel) — separate calls pipeline better
-        # against the surrounding XLA ops.
+        # banded). One call per (view, sample): measured best of three
+        # integration shapes — a single stacked launch over views x batch
+        # was slower with the v1 kernel (2.82 vs 3.22 maps/s), and the v3
+        # fused-view-accumulation kernel (warp_corr_agg_pallas, view axis
+        # innermost with a resident accumulated output block) measured
+        # ~2x slower in isolation (stage-3 cost volume 203 vs 105 ms):
+        # the read-modify-write dependency between consecutive grid steps
+        # defeats Mosaic's grid pipelining. Independent per-(view,sample)
+        # calls pipeline against each other and the surrounding XLA ops.
         from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
 
         for i, src_fea in enumerate(features[1:]):

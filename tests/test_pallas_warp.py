@@ -135,6 +135,41 @@ def test_warp_corr_fused_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_warp_corr_agg_matches_xla(rng):
+    """v3 kernel (fused view accumulation) == XLA per-view correlation
+    stack + aggregate_views, over 3 source views."""
+    from diffmvs_tpu.ops.correlation import (aggregate_views,
+                                             warp_and_correlate)
+    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_agg_pallas
+
+    hs, ws, c, d, g, v = 48, 96, 16, 4, 4, 3
+    cams = make_cams(v + 1, hs * 2, ws * 2)
+    projs = stage_projs(cams)["stage3"]
+    pairs = jnp.asarray(projs)                       # [V+1, 2, 4, 4]
+    srcs = jnp.asarray(rng.randn(v, hs, ws, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(1, hs, ws, c).astype(np.float32))
+    weights = jnp.asarray(rng.rand(v, 1, hs, ws).astype(np.float32))
+    base = 6.0 + 1.5 * rng.rand(1, 1, hs, ws).astype(np.float32)
+    offs = (np.arange(d, dtype=np.float32) - d / 2) * 0.02
+    depths = jnp.asarray(base + offs.reshape(1, d, 1, 1))
+
+    cors = [warp_and_correlate(srcs[i:i + 1], ref, pairs[i + 1][None],
+                               pairs[0][None], depths, g)
+            for i in range(v)]
+    want = np.asarray(jax.jit(aggregate_views)(jnp.stack(cors), weights))
+
+    num = jax.jit(
+        lambda s, r, w, pp, dd: warp_corr_agg_pallas(
+            s, r, w, pp[1:], pp[0], dd, g, interpret=True)
+    )(srcs, ref[0], weights[:, 0], pairs, depths[0])
+    den = jnp.sum(weights[:, 0], axis=0)[None, :, :, None] + 1e-8
+    got = np.asarray(num / den)[None]
+
+    assert got.shape == want.shape
+    # atol 1e-4: sequential per-view accumulation reassociates the sum
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_warp_corr_sweep_window_groups(rng):
     """Full uniform sweep through grouped windows (8 planes per DMA),
     including a depth count not divisible by the group size."""
