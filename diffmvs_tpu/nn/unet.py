@@ -84,6 +84,40 @@ class WSConv(nn.Module):
         return y + bias.astype(dtype)
 
 
+class Conv7x7RowSum(nn.Module):
+    """7x7 conv computed as a sum of 7 shifted 1x7 convs.
+
+    Numerically the same convolution (per-row partial sums are added in
+    f32-accumulating convs; only the add order differs from a direct
+    7x7), with identical parameter names/shapes to nn.Conv — the torch
+    importer and checkpoints are unaffected. Why: XLA's direct 7x7
+    lowering at stage-3 resolution costs ~20 ms on v5e (vs ~0 for 3x3);
+    the row decomposition measures 2.1x faster (tools/bench_tail.py).
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = int(x.shape[-1])
+        kernel = self.param("kernel", torch_kernel_init,
+                            (7, 7, cin, self.features), jnp.float32)
+        bias = self.param("bias", torch_bias_init(cin * 49),
+                          (self.features,), jnp.float32)
+        dtype = self.dtype or x.dtype
+        h = x.shape[1]
+        xp = jnp.pad(x, ((0, 0), (3, 3), (0, 0), (0, 0))).astype(dtype)
+        y = None
+        for dy in range(7):
+            part = jax.lax.conv_general_dilated(
+                xp[:, dy:dy + h], kernel[dy:dy + 1].astype(dtype),
+                (1, 1), ((0, 0), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = part if y is None else y + part
+        return y + bias.astype(dtype)
+
+
 class Block(nn.Module):
     """WSConv -> GroupNorm -> (FiLM) -> SiLU — parity: update.py:117-133."""
 
@@ -192,10 +226,7 @@ class DiffusionUNet(nn.Module):
         t = nn.gelu(t, approximate=False)
         t = Dense(time_dim, dtype=dt, name="time_mlp_2")(t)
 
-        x = nn.Conv(self.dim, (7, 7), padding=((3, 3), (3, 3)),
-                    kernel_init=torch_kernel_init,
-                    bias_init=torch_bias_init(int(x.shape[-1]) * 49),
-                    dtype=dt, name="init_conv")(x)
+        x = Conv7x7RowSum(self.dim, dtype=dt, name="init_conv")(x)
         r = x
 
         skips = []

@@ -43,7 +43,8 @@ from diffmvs_tpu.geometry.transforms import relative_projection
 from diffmvs_tpu.geometry.warp import plane_sweep_coords
 
 TILE = 64          # output pixels per tile (lanes 0..63)
-ROWS = 8           # output rows per grid step
+ROWS = 16          # output rows per grid step (16 measured best for the
+                   # rowbatch kernel; the per-(d,r) kernels are neutral)
 WIN_W = 256        # source window width (two 128-lane gather halves)
 GATHER_W = 128     # Mosaic lane-gather width limit
 WIN_K = 24         # source window rows per DMA
@@ -54,10 +55,18 @@ def _corr_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
                  rstart_ref,    # scalar prefetch [D, ROWS, T, N*HB]
                  xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,  # [1,D,ROWS,TILE]
                  ref_ref,       # [1, ROWS, C, TILE] reference-feature tile
-                 src_hbm,       # ANY [N, (Hs+2)*C, ws_pad]
+                 src_hbm,       # ANY [N, (Hs+2)*CP, ws_pad]
                  out_ref,       # [1, D, ROWS, G, TILE]
-                 win_ref, sem,  # VMEM (2*WIN_K*C, WIN_W) + DMA sem (2,)
-                 *, wg: int, win_k: int, groups: int, band: int):
+                 win_ref, sem,  # VMEM (2*WIN_K*CP, WIN_W) + DMA sem (2,)
+                 *, wg: int, win_k: int, groups: int, band: int,
+                 packed: bool = False, skip: str = ""):
+    """packed=True: source rows hold bf16 channel PAIRS bitcast to f32
+    (CP = C/2 rows per source y) — half the gather rows and window DMA
+    bytes; pairs are unpacked arithmetically (shift/mask + same-width
+    bitcast) after the gather. ref_ref is then ordered evens||odds.
+    skip: PERF-DEBUG ONLY (tools/bench_kernel.py) — 'gather' replaces the
+    lane gather with a raw band read, 'interp' skips y/x interpolation;
+    outputs are then WRONG, used to attribute kernel time."""
     n = pl.program_id(0)
     hb = pl.program_id(1)
     t = pl.program_id(2)
@@ -67,8 +76,9 @@ def _corr_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
     step = nhb * num_t + t
     _, d_total, rows, g_total, _ = out_ref.shape
     c = ref_ref.shape[2]
+    cp = c // 2 if packed else c               # source rows per image y
     cg = c // g_total
-    kc = win_k * c
+    kc = win_k * cp
     nw = -(-d_total // wg)                     # windows per grid step
     total_windows = pl.num_programs(0) * num_hb * num_t * nw
 
@@ -89,7 +99,7 @@ def _corr_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
         slot = jax.lax.rem(widx, 2)
         dst = win_ref.at[pl.ds(pl.multiple_of(slot * kc, 8), kc), :]
         return pltpu.make_async_copy(
-            src_hbm.at[nn2, pl.ds(by * c, kc), pl.ds(bx, WIN_W)],
+            src_hbm.at[nn2, pl.ds(by * cp, kc), pl.ds(bx, WIN_W)],
             dst, sem.at[slot])
 
     @pl.when(step == 0)
@@ -128,38 +138,201 @@ def _corr_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
             lyrc = jnp.clip(lyr, 0, band - 2)
 
             bandw = win_ref[pl.ds(
-                pl.multiple_of(slot_base + rs * c, 8), band * c), :]
+                pl.multiple_of(slot_base + rs * cp, 8), band * cp), :]
             band_lo = bandw[:, :GATHER_W]
             band_hi = bandw[:, GATHER_W:]
 
             # both x-corners in one gather pass: lanes [0,TILE) -> x0,
             # lanes [TILE,2*TILE) -> x0+1 of pixel (lane - TILE)
             lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)  # [1, GATHER_W]
-            idx = jnp.broadcast_to(lx2, (band * c, GATHER_W))
-            g_lo = jnp.take_along_axis(
-                band_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
-            g_hi = jnp.take_along_axis(
-                band_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1), axis=1)
-            gv = jnp.where(idx < GATHER_W, g_lo, g_hi)
-            gv = gv.reshape(band, c, GATHER_W)
+            idx = jnp.broadcast_to(lx2, (band * cp, GATHER_W))
+            if skip == "gather":           # perf-debug: raw band read
+                gv = band_lo + band_hi
+            else:
+                g_lo = jnp.take_along_axis(
+                    band_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
+                g_hi = jnp.take_along_axis(
+                    band_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1),
+                    axis=1)
+                gv = jnp.where(idx < GATHER_W, g_lo, g_hi)
 
             # y-interp: band rows lyrc, lyrc+1 weighted (1-fy, fy)
             ly2 = jnp.concatenate([lyrc, lyrc], axis=1)    # [1, GATHER_W]
             fy2 = jnp.concatenate([fy, fy], axis=1)
             wk = (jnp.where(row_ids == ly2[None], 1.0 - fy2[None], 0.0)
                   + jnp.where(row_ids == ly2[None] + 1, fy2[None], 0.0))
-            s = jnp.sum(gv * wk.astype(gv.dtype), axis=0)  # [C, GATHER_W]
 
-            # x-interp across the lane halves
-            left = s[:, :TILE]
-            right = s[:, TILE:]
-            outv = left + (right - left) * fx.astype(s.dtype)
-            outv = outv * valid.astype(s.dtype)            # [C, TILE]
-
-            # fused group correlation vs the reference tile
-            prod = outv * ref_ref[0, r]                    # [C, TILE]
-            corr = jnp.mean(prod.reshape(g_total, cg, TILE), axis=1)
+            if packed:
+                # unpack bf16 pairs: elem0 = low 16 bits shifted up,
+                # elem1 = high 16 bits (masked) — both ARE valid f32s
+                # (a bf16's f32 representation is its bits in the high
+                # half); same-width bitcasts, cheap VPU int ops
+                ints = jax.lax.bitcast_convert_type(gv, jnp.int32)
+                gv_lo = jax.lax.bitcast_convert_type(
+                    ints << 16, jnp.float32)
+                gv_hi = jax.lax.bitcast_convert_type(
+                    ints & jnp.int32(-65536), jnp.float32)
+                gv_lo = gv_lo.reshape(band, cp, GATHER_W)
+                gv_hi = gv_hi.reshape(band, cp, GATHER_W)
+                wkv = wk.astype(gv_lo.dtype)
+                s_lo = jnp.sum(gv_lo * wkv, axis=0)        # even channels
+                s_hi = jnp.sum(gv_hi * wkv, axis=0)        # odd channels
+                fxv = fx.astype(s_lo.dtype)
+                vv = valid.astype(s_lo.dtype)
+                out_lo = (s_lo[:, :TILE]
+                          + (s_lo[:, TILE:] - s_lo[:, :TILE]) * fxv) * vv
+                out_hi = (s_hi[:, :TILE]
+                          + (s_hi[:, TILE:] - s_hi[:, :TILE]) * fxv) * vv
+                # ref tile is ordered evens||odds along the channel dim;
+                # pair j = channels (2j, 2j+1) stays inside group j//(cg/2)
+                prod_lo = out_lo * ref_ref[0, r, :cp]
+                prod_hi = out_hi * ref_ref[0, r, cp:]
+                corr = (jnp.sum(prod_lo.reshape(g_total, cg // 2, TILE),
+                                axis=1)
+                        + jnp.sum(prod_hi.reshape(g_total, cg // 2, TILE),
+                                  axis=1)) * (1.0 / cg)
+            else:
+                if skip == "interp":       # perf-debug: no y/x interp
+                    outv = gv[:c, :TILE]
+                else:
+                    gv = gv.reshape(band, c, GATHER_W)
+                    s = jnp.sum(gv * wk.astype(gv.dtype), axis=0)
+                    left = s[:, :TILE]
+                    right = s[:, TILE:]
+                    outv = left + (right - left) * fx.astype(s.dtype)
+                    outv = outv * valid.astype(s.dtype)    # [C, TILE]
+                prod = outv * ref_ref[0, r]                # [C, TILE]
+                corr = jnp.mean(prod.reshape(g_total, cg, TILE), axis=1)
             out_ref[0, d, r, :, :] = corr
+
+
+def _corr_kernel_rowbatch(
+        base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
+        rstart_ref,    # scalar prefetch [D, ROWS, T, N*HB]
+        xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,  # [1, D, ROWS, TILE]
+        ref_ref,       # [1, ROWS, C, TILE]
+        src_hbm,       # ANY [N, (Hs+2)*C, ws_pad]
+        out_ref,       # [1, D, ROWS, G, TILE]
+        win_ref, sem,
+        *, wg: int, win_k: int, groups: int, band: int):
+    """v2.2: one fused tensor op chain per DEPTH PLANE instead of per
+    (depth, row). The v2 kernel issues ~15 small vector ops per (d, r)
+    block; measurements (tools/bench_kernel.py: packed, band=2, rows=16
+    all ~neutral) show per-op issue overhead — not gather row count —
+    dominates, so the 8 rows' bands are concatenated into single
+    [ROWS*BAND*C, 128] gather / interp ops (8x larger, 8x fewer)."""
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    t = pl.program_id(2)
+    num_hb = pl.num_programs(1)
+    num_t = pl.num_programs(2)
+    nhb = n * num_hb + hb
+    step = nhb * num_t + t
+    _, d_total, rows, g_total, _ = out_ref.shape
+    c = ref_ref.shape[2]
+    cg = c // g_total
+    kc = win_k * c
+    nw = -(-d_total // wg)
+    total_windows = pl.num_programs(0) * num_hb * num_t * nw
+
+    def window_base(widx):
+        wi = widx % nw
+        s = widx // nw
+        tt = s % num_t
+        nhb2 = s // num_t
+        nn2 = nhb2 // num_hb
+        packed = base_ref[wi, tt, nhb2]
+        bx = pl.multiple_of(packed % 65536, GATHER_W)
+        by = packed // 65536
+        return nn2, bx, by
+
+    def copy_for(widx):
+        nn2, bx, by = window_base(widx)
+        slot = jax.lax.rem(widx, 2)
+        dst = win_ref.at[pl.ds(pl.multiple_of(slot * kc, 8), kc), :]
+        return pltpu.make_async_copy(
+            src_hbm.at[nn2, pl.ds(by * c, kc), pl.ds(bx, WIN_W)],
+            dst, sem.at[slot])
+
+    @pl.when(step == 0)
+    def _():
+        copy_for(0).start()
+
+    bc = band * c
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, band, 1, GATHER_W), 1)
+
+    for d in range(d_total):
+        wi = d // wg
+        if d % wg == 0:
+            widx = step * nw + wi
+            @pl.when(widx + 1 < total_windows)
+            def _():
+                copy_for(widx + 1).start()
+            copy_for(widx).wait()
+            slot = jax.lax.rem(widx, 2)
+            slot_base = pl.multiple_of(slot * kc, 8)
+            _, bxv, byv = window_base(widx)
+
+        xi = xi_ref[0, d]                              # [ROWS, TILE]
+        yi = yi_ref[0, d]
+        fx = fx_ref[0, d]
+        fy = fy_ref[0, d]
+        valid_in = vmask_ref[0, d] != 0
+
+        # rowbatch rstart layout [T, N*HB, D*ROWS]: the large D*ROWS dim
+        # is minor, so SMEM's pad-minor-to-128 doesn't blow the budget
+        # at sweep depths (the [D,ROWS,T,N*HB] layout exceeded 1 MB SMEM
+        # at D=48, rows=16)
+        rsv = [rstart_ref[t, nhb, d * rows + r] for r in range(rows)]
+
+        # per-row band slices, concatenated into one [ROWS*BAND*C, 128]
+        bands = jnp.concatenate([
+            win_ref[pl.ds(pl.multiple_of(
+                slot_base + rsv[r] * c, 8), bc), :]
+            for r in range(rows)])                     # [ROWS*BC, WIN_W]
+        band_lo = bands[:, :GATHER_W]
+        band_hi = bands[:, GATHER_W:]
+
+        rs_col = jnp.concatenate(
+            [jnp.full((1, TILE), rsv[r], jnp.int32)
+             for r in range(rows)])                    # [ROWS, TILE]
+
+        lx = xi - bxv
+        lyr = yi - byv - rs_col
+        in_band = ((lx >= 0) & (lx <= WIN_W - 2)
+                   & (lyr >= 0) & (lyr <= band - 2))
+        valid = valid_in & in_band
+        lxc = jnp.clip(lx, 0, WIN_W - 2)
+        lyrc = jnp.clip(lyr, 0, band - 2)
+
+        lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)  # [ROWS, GATHER_W]
+        idx = jnp.broadcast_to(lx2[:, None, :],
+                               (rows, bc, GATHER_W)).reshape(
+                                   rows * bc, GATHER_W)
+        g_lo = jnp.take_along_axis(
+            band_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
+        g_hi = jnp.take_along_axis(
+            band_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1), axis=1)
+        gv = jnp.where(idx < GATHER_W, g_lo, g_hi)
+        gv = gv.reshape(rows, band, c, GATHER_W)
+
+        ly2 = jnp.concatenate([lyrc, lyrc], axis=1)    # [ROWS, GATHER_W]
+        fy2 = jnp.concatenate([fy, fy], axis=1)
+        wk = (jnp.where(row_ids == ly2[:, None, None, :],
+                        1.0 - fy2[:, None, None, :], 0.0)
+              + jnp.where(row_ids == ly2[:, None, None, :] + 1,
+                          fy2[:, None, None, :], 0.0))
+        s = jnp.sum(gv * wk.astype(gv.dtype), axis=1)  # [ROWS, C, GW]
+
+        left = s[..., :TILE]
+        right = s[..., TILE:]
+        outv = left + (right - left) * fx[:, None, :].astype(s.dtype)
+        outv = outv * valid[:, None, :].astype(s.dtype)  # [ROWS, C, TILE]
+
+        prod = outv * ref_ref[0]                       # [ROWS, C, TILE]
+        corr = jnp.mean(prod.reshape(rows, g_total, cg, TILE), axis=2)
+        out_ref[0, d] = corr
 
 
 def _pad_to(x, size, axis, value=0):
@@ -171,18 +344,19 @@ def _pad_to(x, size, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k):
+def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows=ROWS,
+                     band=BAND_ROWS):
     """Window bases + per-(d,row) band offsets from padded integer corners.
 
     xi/yi/valid: [N, D, H, W] (already +1 padded-coord ints / bool).
-    Returns (packed_bases [NW, T, N*HB], rstarts [D, ROWS, T, N*HB],
+    Returns (packed_bases [NW, T, N*HB], rstarts [D, rows, T, N*HB],
              dims (hb, t_tiles, ws_pad, nw)).
     """
     n = xi.shape[0]
     t_tiles = -(-w // TILE)
     w_pad = t_tiles * TILE
-    hb = -(-h // ROWS)
-    h_pad = hb * ROWS
+    hb = -(-h // rows)
+    h_pad = hb * rows
     nw = -(-d // wg)
 
     def pad_hw(a, value=0):
@@ -198,8 +372,8 @@ def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k):
     # group the depth axis into nw chunks of wg (sentinel-padded)
     xs = _pad_to(xs, nw * wg, axis=1, value=10 ** 8)
     ys = _pad_to(ys, nw * wg, axis=1, value=10 ** 8)
-    xs = xs.reshape(n, nw, wg, hb, ROWS, t_tiles, TILE)
-    ys = ys.reshape(n, nw, wg, hb, ROWS, t_tiles, TILE)
+    xs = xs.reshape(n, nw, wg, hb, rows, t_tiles, TILE)
+    ys = ys.reshape(n, nw, wg, hb, rows, t_tiles, TILE)
 
     ws2, hs2 = ws + 2, hs + 2
     ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, WIN_W)
@@ -213,14 +387,14 @@ def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k):
     # per-(d, row) band offset inside the window: min valid y of the
     # row's tile, relative to the group's by, clipped to the window
     ys_row = jnp.where(valid_p, yi_p, big).reshape(
-        n, d, hb, ROWS, t_tiles, TILE)
-    row_min = jnp.min(ys_row, axis=5)                  # [N, D, HB, ROWS, T]
+        n, d, hb, rows, t_tiles, TILE)
+    row_min = jnp.min(ys_row, axis=5)                  # [N, D, HB, rows, T]
     by_full = jnp.repeat(by, wg, axis=1)[:, :d]        # [N, D, HB, T]
     rstart = jnp.clip(row_min - by_full[:, :, :, None, :], 0,
-                      win_k - BAND_ROWS).astype(jnp.int32)
-    # [N, D, HB, ROWS, T] -> [D, ROWS, T, N*HB]
+                      win_k - band).astype(jnp.int32)
+    # [N, D, HB, rows, T] -> [D, rows, T, N*HB]
     rstart_t = rstart.transpose(1, 3, 4, 0, 2).reshape(
-        d, ROWS, t_tiles, n * hb)
+        d, rows, t_tiles, n * hb)
     return packed_t, rstart_t, (hb, t_tiles, w_pad, h_pad, ws_pad, nw)
 
 
@@ -241,13 +415,20 @@ def _corner_split(x, y, hs, ws):
 
 def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      groups: int, window_group: int = 0,
-                     win_k: int = WIN_K, interpret: bool = False):
+                     win_k: int = WIN_K, rows: int = ROWS,
+                     band: int = BAND_ROWS, packed=None, skip: str = "",
+                     batch_rows: bool = True, interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
     src_fea/ref_fea: [N, Hs, Ws, C] / [N, H, W, C]; src_pair/ref_pair:
     [N, 2, 4, 4]; depth_values: [N, D, H, W] metric hypotheses.
     window_group: depth planes per DMA window (0 = one shared window for
     all D — refinement stages; full sweeps want ~8).
+    packed: gather bf16 channel pairs as one 32-bit word (half the
+    gather rows + window DMA bytes; sources are rounded to bf16).
+    MEASURED NEUTRAL on v5e (per-op issue overhead dominates, not gather
+    rows — tools/bench_kernel.py), so it defaults OFF; it also only
+    exists on the per-(d,r) kernel, not the faster rowbatch one.
     Returns [N, D, H, W, G] float32 group-mean correlations
     (out-of-image / out-of-band samples contribute zeros).
     """
@@ -255,6 +436,10 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     _, d, h, w = depth_values.shape
     assert c % groups == 0
     assert c % 8 == 0, "band sub-slice offsets need C % 8 == 0"
+    if packed is None:
+        packed = False
+    assert not packed or (src_fea.dtype == jnp.bfloat16 and c % 16 == 0)
+    cp = c // 2 if packed else c
     wg = d if window_group in (0, None) else min(window_group, d)
     win_k = min(win_k, hs + 2)
 
@@ -265,39 +450,50 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     x, y = plane_sweep_coords(rot, trans, depth_values)
     xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
 
-    packed, rstarts, dims = _window_geometry(
-        xi, yi, valid, d, h, w, hs, ws, wg, win_k)
+    bases, rstarts, dims = _window_geometry(
+        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band)
     hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
 
     def pad_hw(a, value=0):
         return _pad_to(_pad_to(a, w_pad, axis=3, value=value),
                        h_pad, axis=2, value=value)
 
-    # channel-interleaved padded source rows: src_t[n, y*C + c, x]; f32
-    # (the Mosaic lane-gather is 32-bit only)
-    src_p = jnp.pad(src_fea.astype(jnp.float32),
-                    ((0, 0), (1, 1), (1, 1), (0, 0)))
-    src_t = src_p.transpose(0, 1, 3, 2).reshape(n, (hs + 2) * c, ws + 2)
+    # channel-interleaved padded source rows: src_t[n, y*CP + cr, x]; the
+    # Mosaic lane-gather is 32-bit only, so rows are either f32 channels
+    # or (packed) bf16 channel pairs bitcast into one f32 word each
+    if packed:
+        src_p = jnp.pad(src_fea.astype(jnp.bfloat16),
+                        ((0, 0), (1, 1), (1, 1), (0, 0)))
+        src_p = jax.lax.bitcast_convert_type(
+            src_p.reshape(n, hs + 2, ws + 2, cp, 2), jnp.float32)
+    else:
+        src_p = jnp.pad(src_fea.astype(jnp.float32),
+                        ((0, 0), (1, 1), (1, 1), (0, 0)))
+    src_t = src_p.transpose(0, 1, 3, 2).reshape(n, (hs + 2) * cp, ws + 2)
     src_t = _pad_to(src_t, ws_pad, axis=2)
 
-    # reference tiles [N*HB*T, ROWS, C, TILE] matching the output layout
-    ref_t = _pad_to(_pad_to(ref_fea.astype(jnp.float32), w_pad, axis=2),
-                    h_pad, axis=1)
-    ref_t = (ref_t.reshape(n, hb, ROWS, t_tiles, TILE, c)
+    # reference tiles [N*HB*T, rows, C, TILE] matching the output layout;
+    # packed mode orders channels evens||odds to align with pair rows
+    ref_hw = ref_fea.astype(jnp.float32)
+    if packed:
+        ref_hw = jnp.concatenate([ref_hw[..., 0::2], ref_hw[..., 1::2]],
+                                 axis=-1)
+    ref_t = _pad_to(_pad_to(ref_hw, w_pad, axis=2), h_pad, axis=1)
+    ref_t = (ref_t.reshape(n, hb, rows, t_tiles, TILE, c)
              .transpose(0, 1, 3, 2, 5, 4)
-             .reshape(n * hb * t_tiles, ROWS, c, TILE))
+             .reshape(n * hb * t_tiles, rows, c, TILE))
 
     def tile_view(a, dtype):
-        return (pad_hw(a).reshape(n, d, hb, ROWS, t_tiles, TILE)
+        return (pad_hw(a).reshape(n, d, hb, rows, t_tiles, TILE)
                 .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(n * hb * t_tiles, d, ROWS, TILE)
+                .reshape(n * hb * t_tiles, d, rows, TILE)
                 .astype(dtype))
 
-    spec = pl.BlockSpec((1, d, ROWS, TILE),
+    spec = pl.BlockSpec((1, d, rows, TILE),
                         lambda nn, hh, tt, *_:
                         ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    ref_spec = pl.BlockSpec((1, ROWS, c, TILE),
+    ref_spec = pl.BlockSpec((1, rows, c, TILE),
                             lambda nn, hh, tt, *_:
                             ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -307,25 +503,34 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
         in_specs=[spec, spec, spec, spec, spec, ref_spec,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, d, ROWS, groups, TILE),
+            (1, d, rows, groups, TILE),
             lambda nn, hh, tt, *_:
             ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * win_k * c, WIN_W), jnp.float32),
+            pltpu.VMEM((2 * win_k * cp, WIN_W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    kernel = functools.partial(_corr_kernel, wg=wg, win_k=win_k,
-                               groups=groups, band=BAND_ROWS)
+    if batch_rows and not packed and not skip:
+        kernel = functools.partial(_corr_kernel_rowbatch, wg=wg,
+                                   win_k=win_k, groups=groups, band=band)
+        # [D, rows, T, N*HB] -> [T, N*HB, D*rows] (large dim minor; see
+        # kernel docstring re SMEM padding)
+        rstarts = rstarts.transpose(2, 3, 0, 1).reshape(
+            t_tiles, -1, d * rows)
+    else:
+        kernel = functools.partial(_corr_kernel, wg=wg, win_k=win_k,
+                                   groups=groups, band=band,
+                                   packed=packed, skip=skip)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n * hb * t_tiles, d, ROWS, groups, TILE), jnp.float32),
+            (n * hb * t_tiles, d, rows, groups, TILE), jnp.float32),
         interpret=interpret,
-    )(packed, rstarts,
+    )(bases, rstarts,
       tile_view(xi, jnp.int32),
       tile_view(yi, jnp.int32),
       tile_view(fx, jnp.float32),
@@ -333,8 +538,8 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
       tile_view(valid.astype(jnp.int32), jnp.int32) != 0,
       ref_t, src_t)
 
-    # [N*HB*T, D, ROWS, G, TILE] -> [N, D, H, W, G]
-    out = out.reshape(n, hb, t_tiles, d, ROWS, groups, TILE)
+    # [N*HB*T, D, rows, G, TILE] -> [N, D, H, W, G]
+    out = out.reshape(n, hb, t_tiles, d, rows, groups, TILE)
     out = out.transpose(0, 3, 1, 4, 2, 6, 5)
     out = out.reshape(n, d, h_pad, w_pad, groups)[:, :, :h, :w]
     return out
@@ -622,7 +827,8 @@ def model_miss_fraction(proj_matrices, depth_values, height, width,
 
 
 def warp_corr_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
-                            window_group: int = 0, win_k: int = WIN_K):
+                            window_group: int = 0, win_k: int = WIN_K,
+                            rows: int = ROWS, band: int = BAND_ROWS):
     """Fraction of in-image bilinear samples the banded kernel would zero
     (outside its window OR outside the per-row band). Callers must fall
     back to the XLA path when this is non-negligible for their geometry
@@ -636,30 +842,30 @@ def warp_corr_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
     x, y = plane_sweep_coords(rot, trans, depth_values)
     xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
     packed, rstarts, dims = _window_geometry(
-        xi, yi, valid, d, h, w, hs, ws, wg, win_k)
+        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band)
     hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
 
     def pad_hw(a, value=0):
         return _pad_to(_pad_to(a, w_pad, axis=3, value=value),
                        h_pad, axis=2, value=value)
 
-    xi_p = pad_hw(xi).reshape(n, d, hb, ROWS, t_tiles, TILE)
-    yi_p = pad_hw(yi).reshape(n, d, hb, ROWS, t_tiles, TILE)
+    xi_p = pad_hw(xi).reshape(n, d, hb, rows, t_tiles, TILE)
+    yi_p = pad_hw(yi).reshape(n, d, hb, rows, t_tiles, TILE)
     valid_p = pad_hw(valid, value=False).reshape(
-        n, d, hb, ROWS, t_tiles, TILE)
+        n, d, hb, rows, t_tiles, TILE)
 
     bx = (packed % 65536).reshape(nw, t_tiles, n, hb)
     by = (packed // 65536).reshape(nw, t_tiles, n, hb)
     # [NW, T, N, HB] -> [N, NW, HB, T] -> repeat depth
     bx = jnp.repeat(bx.transpose(2, 0, 3, 1), wg, axis=1)[:, :d]
     by = jnp.repeat(by.transpose(2, 0, 3, 1), wg, axis=1)[:, :d]
-    # rstarts [D, ROWS, T, N*HB] -> [N, D, HB, ROWS, T]
-    rs = rstarts.reshape(d, ROWS, t_tiles, n, hb).transpose(3, 0, 4, 1, 2)
+    # rstarts [D, rows, T, N*HB] -> [N, D, HB, rows, T]
+    rs = rstarts.reshape(d, rows, t_tiles, n, hb).transpose(3, 0, 4, 1, 2)
 
     lx = xi_p - bx[:, :, :, None, :, None]
     lyr = (yi_p - by[:, :, :, None, :, None]
            - rs[:, :, :, :, :, None])
     in_band = ((lx >= 0) & (lx <= WIN_W - 2)
-               & (lyr >= 0) & (lyr <= BAND_ROWS - 2))
+               & (lyr >= 0) & (lyr <= band - 2))
     miss = valid_p & ~in_band
     return jnp.sum(miss) / jnp.maximum(jnp.sum(valid_p), 1)

@@ -135,6 +135,27 @@ def test_warp_corr_fused_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_warp_corr_packed_bf16_matches_f32(rng):
+    """Packed bf16 channel-pair gathers == the f32 kernel on the same
+    bf16-rounded sources (both interpolate in f32 on identical values;
+    only the group-sum association differs)."""
+    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
+
+    src, ref, sp, rp, depths = _corr_setup(rng)
+    src16 = src.astype(jnp.bfloat16)
+
+    want = np.asarray(jax.jit(
+        lambda s, r, a, b, dd: warp_corr_pallas(
+            s, r, a, b, dd, 4, interpret=True, packed=False)
+    )(src16.astype(jnp.float32), ref, sp, rp, depths))
+    got = np.asarray(jax.jit(
+        lambda s, r, a, b, dd: warp_corr_pallas(
+            s, r, a, b, dd, 4, interpret=True, packed=True)
+    )(src16, ref, sp, rp, depths))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_warp_corr_agg_matches_xla(rng):
     """v3 kernel (fused view accumulation) == XLA per-view correlation
     stack + aggregate_views, over 3 source views."""
