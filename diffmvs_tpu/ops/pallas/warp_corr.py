@@ -214,13 +214,16 @@ def _corr_kernel_rowbatch(
         src_hbm,       # ANY [N, (Hs+2)*C, ws_pad]
         out_ref,       # [1, D, ROWS, G, TILE]
         win_ref, sem,
-        *, wg: int, win_k: int, groups: int, band: int):
-    """v2.2: one fused tensor op chain per DEPTH PLANE instead of per
-    (depth, row). The v2 kernel issues ~15 small vector ops per (d, r)
-    block; measurements (tools/bench_kernel.py: packed, band=2, rows=16
-    all ~neutral) show per-op issue overhead — not gather row count —
-    dominates, so the 8 rows' bands are concatenated into single
-    [ROWS*BAND*C, 128] gather / interp ops (8x larger, 8x fewer)."""
+        *, wg: int, win_k: int, groups: int, band: int, dchunk: int = 1):
+    """v2.2/v2.3: one fused tensor op chain per CHUNK of dchunk depth
+    planes x all output rows, instead of per (depth, row). The v2 kernel
+    issues ~15 small vector ops per (d, r) block; measurements
+    (tools/bench_kernel.py: packed, band=2, rows=16 all ~neutral) show
+    per-op issue overhead — not gather row count — dominates, so the
+    bands of dchunk*ROWS blocks are concatenated into single
+    [DCHUNK*ROWS*BAND*C, 128] gather / interp ops (fewer, larger).
+    dchunk must divide the window group (all chunk members share one
+    window); refinement shapes use dchunk=D (one window, one chain)."""
     n = pl.program_id(0)
     hb = pl.program_id(1)
     t = pl.program_id(2)
@@ -259,12 +262,15 @@ def _corr_kernel_rowbatch(
         copy_for(0).start()
 
     bc = band * c
+    dk = max(1, min(dchunk, wg))
+    blk = dk * rows                    # (depth, row) blocks per op chain
     row_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (rows, band, 1, GATHER_W), 1)
+        jnp.int32, (blk, band, 1, GATHER_W), 1)
 
-    for d in range(d_total):
-        wi = d // wg
-        if d % wg == 0:
+    for d0 in range(0, d_total, dk):
+        dks = min(dk, d_total - d0)    # depths in this chunk
+        wi = d0 // wg
+        if d0 % wg == 0:
             widx = step * nw + wi
             @pl.when(widx + 1 < total_windows)
             def _():
@@ -274,29 +280,31 @@ def _corr_kernel_rowbatch(
             slot_base = pl.multiple_of(slot * kc, 8)
             _, bxv, byv = window_base(widx)
 
-        xi = xi_ref[0, d]                              # [ROWS, TILE]
-        yi = yi_ref[0, d]
-        fx = fx_ref[0, d]
-        fy = fy_ref[0, d]
-        valid_in = vmask_ref[0, d] != 0
+        nblk = dks * rows
+        dr = [(d0 + i, r) for i in range(dks) for r in range(rows)]
+        # [NBLK, TILE] coordinate tiles for the whole chunk
+        xi = xi_ref[0, d0:d0 + dks].reshape(nblk, TILE)
+        yi = yi_ref[0, d0:d0 + dks].reshape(nblk, TILE)
+        fx = fx_ref[0, d0:d0 + dks].reshape(nblk, TILE)
+        fy = fy_ref[0, d0:d0 + dks].reshape(nblk, TILE)
+        valid_in = vmask_ref[0, d0:d0 + dks].reshape(nblk, TILE) != 0
 
         # rowbatch rstart layout [T, N*HB, D*ROWS]: the large D*ROWS dim
         # is minor, so SMEM's pad-minor-to-128 doesn't blow the budget
         # at sweep depths (the [D,ROWS,T,N*HB] layout exceeded 1 MB SMEM
         # at D=48, rows=16)
-        rsv = [rstart_ref[t, nhb, d * rows + r] for r in range(rows)]
+        rsv = [rstart_ref[t, nhb, d * rows + r] for d, r in dr]
 
-        # per-row band slices, concatenated into one [ROWS*BAND*C, 128]
+        # per-(d,r) band slices, concatenated into one [NBLK*BAND*C, 128]
         bands = jnp.concatenate([
             win_ref[pl.ds(pl.multiple_of(
-                slot_base + rsv[r] * c, 8), bc), :]
-            for r in range(rows)])                     # [ROWS*BC, WIN_W]
+                slot_base + rs * c, 8), bc), :]
+            for rs in rsv])                            # [NBLK*BC, WIN_W]
         band_lo = bands[:, :GATHER_W]
         band_hi = bands[:, GATHER_W:]
 
         rs_col = jnp.concatenate(
-            [jnp.full((1, TILE), rsv[r], jnp.int32)
-             for r in range(rows)])                    # [ROWS, TILE]
+            [jnp.full((1, TILE), rs, jnp.int32) for rs in rsv])
 
         lx = xi - bxv
         lyr = yi - byv - rs_col
@@ -306,33 +314,37 @@ def _corr_kernel_rowbatch(
         lxc = jnp.clip(lx, 0, WIN_W - 2)
         lyrc = jnp.clip(lyr, 0, band - 2)
 
-        lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)  # [ROWS, GATHER_W]
+        lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)  # [NBLK, GATHER_W]
         idx = jnp.broadcast_to(lx2[:, None, :],
-                               (rows, bc, GATHER_W)).reshape(
-                                   rows * bc, GATHER_W)
+                               (nblk, bc, GATHER_W)).reshape(
+                                   nblk * bc, GATHER_W)
         g_lo = jnp.take_along_axis(
             band_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
         g_hi = jnp.take_along_axis(
             band_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1), axis=1)
         gv = jnp.where(idx < GATHER_W, g_lo, g_hi)
-        gv = gv.reshape(rows, band, c, GATHER_W)
+        gv = gv.reshape(nblk, band, c, GATHER_W)
 
-        ly2 = jnp.concatenate([lyrc, lyrc], axis=1)    # [ROWS, GATHER_W]
+        ly2 = jnp.concatenate([lyrc, lyrc], axis=1)    # [NBLK, GATHER_W]
         fy2 = jnp.concatenate([fy, fy], axis=1)
-        wk = (jnp.where(row_ids == ly2[:, None, None, :],
+        rid = row_ids[:nblk] if nblk != blk else row_ids
+        wk = (jnp.where(rid == ly2[:, None, None, :],
                         1.0 - fy2[:, None, None, :], 0.0)
-              + jnp.where(row_ids == ly2[:, None, None, :] + 1,
+              + jnp.where(rid == ly2[:, None, None, :] + 1,
                           fy2[:, None, None, :], 0.0))
-        s = jnp.sum(gv * wk.astype(gv.dtype), axis=1)  # [ROWS, C, GW]
+        s = jnp.sum(gv * wk.astype(gv.dtype), axis=1)  # [NBLK, C, GW]
 
         left = s[..., :TILE]
         right = s[..., TILE:]
         outv = left + (right - left) * fx[:, None, :].astype(s.dtype)
-        outv = outv * valid[:, None, :].astype(s.dtype)  # [ROWS, C, TILE]
+        outv = outv * valid[:, None, :].astype(s.dtype)  # [NBLK, C, TILE]
 
-        prod = outv * ref_ref[0]                       # [ROWS, C, TILE]
-        corr = jnp.mean(prod.reshape(rows, g_total, cg, TILE), axis=2)
-        out_ref[0, d] = corr
+        refv = ref_ref[0]                              # [ROWS, C, TILE]
+        if dks > 1:
+            refv = jnp.concatenate([refv] * dks)       # [NBLK, C, TILE]
+        prod = outv * refv
+        corr = jnp.mean(prod.reshape(nblk, g_total, cg, TILE), axis=2)
+        out_ref[0, d0:d0 + dks] = corr.reshape(dks, rows, g_total, TILE)
 
 
 def _pad_to(x, size, axis, value=0):
@@ -514,8 +526,15 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     )
 
     if batch_rows and not packed and not skip:
+        # fold as many depth planes per op chain as fit ~4096 gather rows
+        # (VMEM + vector-op size sweet spot); chunks must divide the
+        # window group so a chunk never crosses a window boundary
+        dk_cap = max(1, 4096 // (rows * band * c))
+        dchunk = max(x for x in range(1, wg + 1)
+                     if wg % x == 0 and x <= dk_cap)
         kernel = functools.partial(_corr_kernel_rowbatch, wg=wg,
-                                   win_k=win_k, groups=groups, band=band)
+                                   win_k=win_k, groups=groups, band=band,
+                                   dchunk=dchunk)
         # [D, rows, T, N*HB] -> [T, N*HB, D*rows] (large dim minor; see
         # kernel docstring re SMEM padding)
         rstarts = rstarts.transpose(2, 3, 0, 1).reshape(

@@ -148,6 +148,26 @@ def main():
         return y
     measure("conv7x7 as 9 x conv3x3", conv_3x3sum, x, w77)
 
+    # stage-1 glue: PixelViewWeight conv3ds at sweep shape (per view)
+    from diffmvs_tpu.nn.costreg import PixelViewWeight
+    cor = rng.rand(4, 48, 144, 200, 8).astype(np.float32)
+    pvw = PixelViewWeight()
+    pvars = pvw.init(key, cor[:1], False)
+    measure("pvw (1 view, sweep shape)",
+            lambda c_: pvw.apply(pvars, c_, False), cor)
+
+    conv3 = nn.Conv(8, (3, 3, 3), padding=1, dtype=dt)
+    c3vars = conv3.init(key, cor[:1])
+    measure("conv3d 3x3x3 8->8 sweep shape",
+            lambda c_: conv3.apply(c3vars, c_), cor)
+
+    # stage-3 refine mask head + hidden plumbing shapes
+    from diffmvs_tpu.models.stages import UpsampleMaskHead
+    mh = UpsampleMaskHead(2, dtype=dt)
+    ctx3 = rng.rand(B, H, W, 16).astype(np.float32)
+    mvars = mh.init(key, ctx3[:1])
+    measure("mask head (stage3)", lambda c_: mh.apply(mvars, c_), ctx3)
+
     # feature-net-shaped convs (20 images at full DTU res)
     BV, FH, FW = 20, 1152, 1600
     for cin, cout, k, stride, h_, w_, label in (
