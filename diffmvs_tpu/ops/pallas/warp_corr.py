@@ -214,7 +214,8 @@ def _corr_kernel_rowbatch(
         src_hbm,       # ANY [N, (Hs+2)*C, ws_pad]
         out_ref,       # [1, D, ROWS, G, TILE]
         win_ref, sem,
-        *, wg: int, win_k: int, groups: int, band: int, dchunk: int = 1):
+        *, wg: int, win_k: int, groups: int, band: int, dchunk: int = 1,
+        win_w: int = WIN_W):
     """v2.2/v2.3: one fused tensor op chain per CHUNK of dchunk depth
     planes x all output rows, instead of per (depth, row). The v2 kernel
     issues ~15 small vector ops per (d, r) block; measurements
@@ -223,7 +224,11 @@ def _corr_kernel_rowbatch(
     bands of dchunk*ROWS blocks are concatenated into single
     [DCHUNK*ROWS*BAND*C, 128] gather / interp ops (fewer, larger).
     dchunk must divide the window group (all chunk members share one
-    window); refinement shapes use dchunk=D (one window, one chain)."""
+    window); refinement shapes use dchunk=D (one window, one chain).
+    win_w=128 (narrow windows, refinement default): the whole window is
+    one 128-lane half — single unaligned-base DMA, ONE gather, no
+    half-select; win_w=256 (two-half gather) for grouped sweeps whose
+    per-window x-span can exceed 128."""
     n = pl.program_id(0)
     hb = pl.program_id(1)
     t = pl.program_id(2)
@@ -245,7 +250,9 @@ def _corr_kernel_rowbatch(
         nhb2 = s // num_t
         nn2 = nhb2 // num_hb
         packed = base_ref[wi, tt, nhb2]
-        bx = pl.multiple_of(packed % 65536, GATHER_W)
+        bx = packed % 65536
+        if win_w > GATHER_W:
+            bx = pl.multiple_of(bx, GATHER_W)
         by = packed // 65536
         return nn2, bx, by
 
@@ -254,7 +261,7 @@ def _corr_kernel_rowbatch(
         slot = jax.lax.rem(widx, 2)
         dst = win_ref.at[pl.ds(pl.multiple_of(slot * kc, 8), kc), :]
         return pltpu.make_async_copy(
-            src_hbm.at[nn2, pl.ds(by * c, kc), pl.ds(bx, WIN_W)],
+            src_hbm.at[nn2, pl.ds(by * c, kc), pl.ds(bx, win_w)],
             dst, sem.at[slot])
 
     @pl.when(step == 0)
@@ -295,34 +302,41 @@ def _corr_kernel_rowbatch(
         # at D=48, rows=16)
         rsv = [rstart_ref[t, nhb, d * rows + r] for d, r in dr]
 
-        # per-(d,r) band slices, concatenated into one [NBLK*BAND*C, 128]
+        # per-(d,r) band slices, concatenated into one [NBLK*BAND*C, .]
         bands = jnp.concatenate([
             win_ref[pl.ds(pl.multiple_of(
                 slot_base + rs * c, 8), bc), :]
-            for rs in rsv])                            # [NBLK*BC, WIN_W]
-        band_lo = bands[:, :GATHER_W]
-        band_hi = bands[:, GATHER_W:]
+            for rs in rsv])                            # [NBLK*BC, win_w]
 
         rs_col = jnp.concatenate(
             [jnp.full((1, TILE), rs, jnp.int32) for rs in rsv])
 
         lx = xi - bxv
         lyr = yi - byv - rs_col
-        in_band = ((lx >= 0) & (lx <= WIN_W - 2)
+        in_band = ((lx >= 0) & (lx <= win_w - 2)
                    & (lyr >= 0) & (lyr <= band - 2))
         valid = valid_in & in_band
-        lxc = jnp.clip(lx, 0, WIN_W - 2)
+        lxc = jnp.clip(lx, 0, win_w - 2)
         lyrc = jnp.clip(lyr, 0, band - 2)
 
         lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)  # [NBLK, GATHER_W]
         idx = jnp.broadcast_to(lx2[:, None, :],
                                (nblk, bc, GATHER_W)).reshape(
                                    nblk * bc, GATHER_W)
-        g_lo = jnp.take_along_axis(
-            band_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
-        g_hi = jnp.take_along_axis(
-            band_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1), axis=1)
-        gv = jnp.where(idx < GATHER_W, g_lo, g_hi)
+        if win_w == GATHER_W:
+            # narrow window: both corners live in the single 128-lane
+            # half — one gather, no half select
+            gv = jnp.take_along_axis(
+                bands, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
+        else:
+            band_lo = bands[:, :GATHER_W]
+            band_hi = bands[:, GATHER_W:]
+            g_lo = jnp.take_along_axis(
+                band_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
+            g_hi = jnp.take_along_axis(
+                band_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1),
+                axis=1)
+            gv = jnp.where(idx < GATHER_W, g_lo, g_hi)
         gv = gv.reshape(nblk, band, c, GATHER_W)
 
         ly2 = jnp.concatenate([lyrc, lyrc], axis=1)    # [NBLK, GATHER_W]
@@ -357,7 +371,7 @@ def _pad_to(x, size, axis, value=0):
 
 
 def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows=ROWS,
-                     band=BAND_ROWS):
+                     band=BAND_ROWS, win_w=WIN_W):
     """Window bases + per-(d,row) band offsets from padded integer corners.
 
     xi/yi/valid: [N, D, H, W] (already +1 padded-coord ints / bool).
@@ -388,9 +402,12 @@ def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows=ROWS,
     ys = ys.reshape(n, nw, wg, hb, rows, t_tiles, TILE)
 
     ws2, hs2 = ws + 2, hs + 2
-    ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, WIN_W)
-    bx = jnp.clip(jnp.min(xs, axis=(2, 4, 6)), 0, ws_pad - WIN_W)
-    bx = (bx // GATHER_W) * GATHER_W          # 128-aligned DMA lane base
+    ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, win_w)
+    bx = jnp.clip(jnp.min(xs, axis=(2, 4, 6)), 0, ws_pad - win_w)
+    if win_w > GATHER_W:
+        # two-half windows gather each 128-lane half separately; the DMA
+        # lane base must be 128-aligned so the halves split cleanly
+        bx = (bx // GATHER_W) * GATHER_W
     by = jnp.clip(jnp.min(ys, axis=(2, 4, 6)), 0, hs2 - win_k)
     # [N, NW, HB, T] int32
     packed = (by * 65536 + bx).astype(jnp.int32)
@@ -429,7 +446,8 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      groups: int, window_group: int = 0,
                      win_k: int = WIN_K, rows: int = ROWS,
                      band: int = BAND_ROWS, packed=None, skip: str = "",
-                     batch_rows: bool = True, interpret: bool = False):
+                     batch_rows: bool = True, win_w: int = 0,
+                     interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
     src_fea/ref_fea: [N, Hs, Ws, C] / [N, H, W, C]; src_pair/ref_pair:
@@ -454,6 +472,15 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     cp = c // 2 if packed else c
     wg = d if window_group in (0, None) else min(window_group, d)
     win_k = min(win_k, hs + 2)
+    use_rowbatch = batch_rows and not packed and not skip
+    if win_w == 0:
+        # win_w=GATHER_W (narrow single-gather windows) would save one
+        # take + select per chunk, but the HBM->VMEM window DMA requires
+        # a 128-aligned lane base ("tile index divisible by the tiling")
+        # — an unaligned 128 window cannot be DMA'd, and re-aligning via
+        # an in-kernel dynamic lane roll costs about what it saves.
+        # Default stays the aligned two-half 256 window.
+        win_w = WIN_W
 
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -463,7 +490,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
 
     bases, rstarts, dims = _window_geometry(
-        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band)
+        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band, win_w)
     hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
 
     def pad_hw(a, value=0):
@@ -520,12 +547,14 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
             ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * win_k * cp, WIN_W), jnp.float32),
+            pltpu.VMEM((2 * win_k * cp, win_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    if batch_rows and not packed and not skip:
+    assert use_rowbatch or win_w == WIN_W, \
+        "narrow windows are a rowbatch-kernel feature"
+    if use_rowbatch:
         # fold as many depth planes per op chain as fit ~4096 gather rows
         # (VMEM + vector-op size sweet spot); chunks must divide the
         # window group so a chunk never crosses a window boundary
@@ -534,7 +563,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      if wg % x == 0 and x <= dk_cap)
         kernel = functools.partial(_corr_kernel_rowbatch, wg=wg,
                                    win_k=win_k, groups=groups, band=band,
-                                   dchunk=dchunk)
+                                   dchunk=dchunk, win_w=win_w)
         # [D, rows, T, N*HB] -> [T, N*HB, D*rows] (large dim minor; see
         # kernel docstring re SMEM padding)
         rstarts = rstarts.transpose(2, 3, 0, 1).reshape(
@@ -822,14 +851,15 @@ def model_miss_fraction(proj_matrices, depth_values, height, width,
     (/root/reference/models/module.py:212-215)."""
     checks = []
     if numdepth_initial:
-        checks.append(("stage1", 8, numdepth_initial, 8))
+        # sweep path: grouped two-half 256 windows
+        checks.append(("stage1", 8, numdepth_initial, 8, WIN_W))
     for stage_idx, key, down in ((1, "stage2", 4), (2, "stage3", 2)):
         if stage_iters[stage_idx] > 0:
-            checks.append((key, down, 8, 2))
+            checks.append((key, down, 8, 2, WIN_W))
 
     disp = depth_values[0].astype(jnp.float32)
     miss = jnp.float32(0.0)
-    for key, down, n_planes, wgrp in checks:
+    for key, down, n_planes, wgrp, ww in checks:
         h, w = height // down, width // down
         inv = jnp.linspace(disp[0], disp[-1], n_planes)
         planes = jnp.broadcast_to(
@@ -840,14 +870,15 @@ def model_miss_fraction(proj_matrices, depth_values, height, width,
         for i in range(1, v):
             m = warp_corr_miss_fraction(
                 dummy_src, projs[:1, i], projs[:1, 0], planes,
-                window_group=wgrp)
+                window_group=wgrp, win_w=ww)
             miss = jnp.maximum(miss, m)
     return miss
 
 
 def warp_corr_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
                             window_group: int = 0, win_k: int = WIN_K,
-                            rows: int = ROWS, band: int = BAND_ROWS):
+                            rows: int = ROWS, band: int = BAND_ROWS,
+                            win_w: int = 0):
     """Fraction of in-image bilinear samples the banded kernel would zero
     (outside its window OR outside the per-row band). Callers must fall
     back to the XLA path when this is non-negligible for their geometry
@@ -856,12 +887,14 @@ def warp_corr_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
     _, d, h, w = depth_values.shape
     wg = d if window_group in (0, None) else min(window_group, d)
     win_k = min(win_k, hs + 2)
+    if win_w == 0:      # mirror warp_corr_pallas's default
+        win_w = WIN_W
 
     rot, trans = relative_projection(src_pair, ref_pair)
     x, y = plane_sweep_coords(rot, trans, depth_values)
     xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
     packed, rstarts, dims = _window_geometry(
-        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band)
+        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band, win_w)
     hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
 
     def pad_hw(a, value=0):
@@ -884,7 +917,7 @@ def warp_corr_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
     lx = xi_p - bx[:, :, :, None, :, None]
     lyr = (yi_p - by[:, :, :, None, :, None]
            - rs[:, :, :, :, :, None])
-    in_band = ((lx >= 0) & (lx <= WIN_W - 2)
+    in_band = ((lx >= 0) & (lx <= win_w - 2)
                & (lyr >= 0) & (lyr <= band - 2))
     miss = valid_p & ~in_band
     return jnp.sum(miss) / jnp.maximum(jnp.sum(valid_p), 1)
