@@ -157,7 +157,7 @@ def bench_train():
     }))
 
 
-def main():
+def main(batch: int = 0):
     import dataclasses
 
     import jax
@@ -178,6 +178,8 @@ def main():
         # batch 4 view-sets per forward (production serving batches scenes'
         # view-sets; +15% throughput over B=1)
         bsz, h, w, cfg_nd, nd_init, reps = 4, 1152, 1600, 384, 48, 6
+    if batch:
+        bsz = batch
 
     # production inference config: bf16 conv/feature compute (geometry,
     # soft-argmax and diffusion state stay f32 — see ModelConfig), which also
@@ -249,10 +251,12 @@ if __name__ == "__main__":
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument("--train", action="store_true",
                         help="train-step throughput instead")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="override view-set batch size (default 4)")
     a = parser.parse_args()
     if a.io:
         bench_io(a.workers)
     elif a.train:
         bench_train()
     else:
-        main()
+        main(a.batch)
