@@ -208,14 +208,14 @@ def _corr_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
 
 def _corr_kernel_rowbatch(
         base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
-        rstart_ref,    # scalar prefetch [D, ROWS, T, N*HB]
-        xi_ref, yi_ref, fx_ref, fy_ref, vmask_ref,  # [1, D, ROWS, TILE]
+        rstart_ref,    # scalar prefetch [T, N*HB, D*ROWS]
+        xf_ref, yf_ref,  # [1, D, ROWS, TILE] float sample coords
         ref_ref,       # [1, ROWS, C, TILE]
         src_hbm,       # ANY [N, (Hs+2)*C, ws_pad]
         out_ref,       # [1, D, ROWS, G, TILE]
         win_ref, sem,
-        *, wg: int, win_k: int, groups: int, band: int, dchunk: int = 1,
-        win_w: int = WIN_W):
+        *, wg: int, win_k: int, groups: int, band: int, hs: int, ws: int,
+        dchunk: int = 1, win_w: int = WIN_W):
     """v2.2/v2.3: one fused tensor op chain per CHUNK of dchunk depth
     planes x all output rows, instead of per (depth, row). The v2 kernel
     issues ~15 small vector ops per (d, r) block; measurements
@@ -228,7 +228,12 @@ def _corr_kernel_rowbatch(
     win_w=128 (narrow windows, refinement default): the whole window is
     one 128-lane half — single unaligned-base DMA, ONE gather, no
     half-select; win_w=256 (two-half gather) for grouped sweeps whose
-    per-window x-span can exceed 128."""
+    per-window x-span can exceed 128.
+    Coordinates arrive as TWO float arrays (the raw sample positions);
+    integer corners, fractions and validity are derived in-kernel (a few
+    cheap vector ops) instead of shipping five precomputed arrays — 3
+    fewer operand preps/DMAs per call (the s32 coordinate relayout
+    copies were ~11 ms/fwd in the full-forward trace)."""
     n = pl.program_id(0)
     hb = pl.program_id(1)
     t = pl.program_id(2)
@@ -289,12 +294,19 @@ def _corr_kernel_rowbatch(
 
         nblk = dks * rows
         dr = [(d0 + i, r) for i in range(dks) for r in range(rows)]
-        # [NBLK, TILE] coordinate tiles for the whole chunk
-        xi = xi_ref[0, d0:d0 + dks].reshape(nblk, TILE)
-        yi = yi_ref[0, d0:d0 + dks].reshape(nblk, TILE)
-        fx = fx_ref[0, d0:d0 + dks].reshape(nblk, TILE)
-        fy = fy_ref[0, d0:d0 + dks].reshape(nblk, TILE)
-        valid_in = vmask_ref[0, d0:d0 + dks].reshape(nblk, TILE) != 0
+        # [NBLK, TILE] float coords -> corners/fractions/validity
+        # (matches _corner_split exactly; pad sentinel is far negative)
+        xf = xf_ref[0, d0:d0 + dks].reshape(nblk, TILE)
+        yf = yf_ref[0, d0:d0 + dks].reshape(nblk, TILE)
+        x0 = jnp.floor(xf)
+        y0 = jnp.floor(yf)
+        fx = xf - x0
+        fy = yf - y0
+        xi = x0.astype(jnp.int32) + 1
+        yi = y0.astype(jnp.int32) + 1
+        valid_in = ((xi >= 0) & (xi <= ws) & (yi >= 0) & (yi <= hs))
+        xi = jnp.clip(xi, 0, ws)
+        yi = jnp.clip(yi, 0, hs)
 
         # rowbatch rstart layout [T, N*HB, D*ROWS]: the large D*ROWS dim
         # is minor, so SMEM's pad-minor-to-128 doesn't blow the budget
@@ -536,21 +548,15 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                             lambda nn, hh, tt, *_:
                             ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n, hb, t_tiles),
-        in_specs=[spec, spec, spec, spec, spec, ref_spec,
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, d, rows, groups, TILE),
-            lambda nn, hh, tt, *_:
-            ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2 * win_k * cp, win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+    out_spec = pl.BlockSpec(
+        (1, d, rows, groups, TILE),
+        lambda nn, hh, tt, *_:
+        ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((2 * win_k * cp, win_w), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
 
     assert use_rowbatch or win_w == WIN_W, \
         "narrow windows are a rowbatch-kernel feature"
@@ -563,28 +569,43 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      if wg % x == 0 and x <= dk_cap)
         kernel = functools.partial(_corr_kernel_rowbatch, wg=wg,
                                    win_k=win_k, groups=groups, band=band,
+                                   hs=hs, ws=ws,
                                    dchunk=dchunk, win_w=win_w)
         # [D, rows, T, N*HB] -> [T, N*HB, D*rows] (large dim minor; see
         # kernel docstring re SMEM padding)
         rstarts = rstarts.transpose(2, 3, 0, 1).reshape(
             t_tiles, -1, d * rows)
+        # raw float coords only; corners/fractions/validity derive
+        # in-kernel (3 fewer operand arrays to lay out and DMA)
+        operands = (tile_view(x, jnp.float32), tile_view(y, jnp.float32))
+        in_specs = [spec, spec, ref_spec,
+                    pl.BlockSpec(memory_space=pl.ANY)]
     else:
         kernel = functools.partial(_corr_kernel, wg=wg, win_k=win_k,
                                    groups=groups, band=band,
                                    packed=packed, skip=skip)
+        operands = (tile_view(xi, jnp.int32),
+                    tile_view(yi, jnp.int32),
+                    tile_view(fx, jnp.float32),
+                    tile_view(fy, jnp.float32),
+                    tile_view(valid.astype(jnp.int32), jnp.int32) != 0)
+        in_specs = [spec, spec, spec, spec, spec, ref_spec,
+                    pl.BlockSpec(memory_space=pl.ANY)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, hb, t_tiles),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n * hb * t_tiles, d, rows, groups, TILE), jnp.float32),
         interpret=interpret,
-    )(bases, rstarts,
-      tile_view(xi, jnp.int32),
-      tile_view(yi, jnp.int32),
-      tile_view(fx, jnp.float32),
-      tile_view(fy, jnp.float32),
-      tile_view(valid.astype(jnp.int32), jnp.int32) != 0,
-      ref_t, src_t)
+    )(bases, rstarts, *operands, ref_t, src_t)
 
     # [N*HB*T, D, rows, G, TILE] -> [N, D, H, W, G]
     out = out.reshape(n, hb, t_tiles, d, rows, groups, TILE)
