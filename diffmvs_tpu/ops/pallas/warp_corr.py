@@ -275,9 +275,7 @@ def _corr_kernel_rowbatch(
 
     bc = band * c
     dk = max(1, min(dchunk, wg))
-    blk = dk * rows                    # (depth, row) blocks per op chain
-    row_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (blk, band, 1, GATHER_W), 1)
+    tile = out_ref.shape[-1]
 
     for d0 in range(0, d_total, dk):
         dks = min(dk, d_total - d0)    # depths in this chunk
@@ -294,10 +292,10 @@ def _corr_kernel_rowbatch(
 
         nblk = dks * rows
         dr = [(d0 + i, r) for i in range(dks) for r in range(rows)]
-        # [NBLK, TILE] float coords -> corners/fractions/validity
+        # [NBLK, tile] float coords -> corners/fractions/validity
         # (matches _corner_split exactly; pad sentinel is far negative)
-        xf = xf_ref[0, d0:d0 + dks].reshape(nblk, TILE)
-        yf = yf_ref[0, d0:d0 + dks].reshape(nblk, TILE)
+        xf = xf_ref[0, d0:d0 + dks].reshape(nblk, tile)
+        yf = yf_ref[0, d0:d0 + dks].reshape(nblk, tile)
         x0 = jnp.floor(xf)
         y0 = jnp.floor(yf)
         fx = xf - x0
@@ -321,7 +319,7 @@ def _corr_kernel_rowbatch(
             for rs in rsv])                            # [NBLK*BC, win_w]
 
         rs_col = jnp.concatenate(
-            [jnp.full((1, TILE), rs, jnp.int32) for rs in rsv])
+            [jnp.full((1, tile), rs, jnp.int32) for rs in rsv])
 
         lx = xi - bxv
         lyr = yi - byv - rs_col
@@ -331,46 +329,63 @@ def _corr_kernel_rowbatch(
         lxc = jnp.clip(lx, 0, win_w - 2)
         lyrc = jnp.clip(lyr, 0, band - 2)
 
-        lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)  # [NBLK, GATHER_W]
-        idx = jnp.broadcast_to(lx2[:, None, :],
-                               (nblk, bc, GATHER_W)).reshape(
-                                   nblk * bc, GATHER_W)
-        if win_w == GATHER_W:
-            # narrow window: both corners live in the single 128-lane
-            # half — one gather, no half select
-            gv = jnp.take_along_axis(
-                bands, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
-        else:
-            band_lo = bands[:, :GATHER_W]
-            band_hi = bands[:, GATHER_W:]
+        def gat(ii):
+            """Lane-gather the bands at [NBLK, GATHER_W] indices."""
+            idx = jnp.broadcast_to(ii[:, None, :],
+                                   (nblk, bc, GATHER_W)).reshape(
+                                       nblk * bc, GATHER_W)
+            if win_w == GATHER_W:
+                return jnp.take_along_axis(
+                    bands, jnp.clip(idx, 0, GATHER_W - 1), axis=1
+                ).reshape(nblk, band, c, GATHER_W)
             g_lo = jnp.take_along_axis(
-                band_lo, jnp.clip(idx, 0, GATHER_W - 1), axis=1)
+                bands[:, :GATHER_W],
+                jnp.clip(idx, 0, GATHER_W - 1), axis=1)
             g_hi = jnp.take_along_axis(
-                band_hi, jnp.clip(idx - GATHER_W, 0, GATHER_W - 1),
-                axis=1)
-            gv = jnp.where(idx < GATHER_W, g_lo, g_hi)
-        gv = gv.reshape(nblk, band, c, GATHER_W)
+                bands[:, GATHER_W:],
+                jnp.clip(idx - GATHER_W, 0, GATHER_W - 1), axis=1)
+            return jnp.where(idx < GATHER_W, g_lo, g_hi).reshape(
+                nblk, band, c, GATHER_W)
 
-        ly2 = jnp.concatenate([lyrc, lyrc], axis=1)    # [NBLK, GATHER_W]
-        fy2 = jnp.concatenate([fy, fy], axis=1)
-        rid = row_ids[:nblk] if nblk != blk else row_ids
-        wk = (jnp.where(rid == ly2[:, None, None, :],
-                        1.0 - fy2[:, None, None, :], 0.0)
-              + jnp.where(rid == ly2[:, None, None, :] + 1,
-                          fy2[:, None, None, :], 0.0))
-        s = jnp.sum(gv * wk.astype(gv.dtype), axis=1)  # [NBLK, C, GW]
+        if tile == GATHER_W:
+            # full-width tiles: one gather per x-corner (same gathers
+            # per pixel as the packed-corner layout, but every tail op
+            # runs on all 128 lanes and windows serve 2x the pixels)
+            rid = jax.lax.broadcasted_iota(
+                jnp.int32, (nblk, band, 1, tile), 1)
+            wk = (jnp.where(rid == lyrc[:, None, None, :],
+                            1.0 - fy[:, None, None, :], 0.0)
+                  + jnp.where(rid == lyrc[:, None, None, :] + 1,
+                              fy[:, None, None, :], 0.0))
+            wkv = wk.astype(jnp.float32)
+            s0 = jnp.sum(gat(lxc) * wkv, axis=1)       # [NBLK, C, tile]
+            s1 = jnp.sum(gat(lxc + 1) * wkv, axis=1)
+            outv = s0 + (s1 - s0) * fx[:, None, :].astype(s0.dtype)
+            outv = outv * valid[:, None, :].astype(s0.dtype)
+        else:
+            # packed corners: lanes [0,tile) -> x0, [tile,2*tile) -> x0+1
+            lx2 = jnp.concatenate([lxc, lxc + 1], axis=1)
+            gv = gat(lx2)
+            ly2 = jnp.concatenate([lyrc, lyrc], axis=1)
+            fy2 = jnp.concatenate([fy, fy], axis=1)
+            rid = jax.lax.broadcasted_iota(
+                jnp.int32, (nblk, band, 1, GATHER_W), 1)
+            wk = (jnp.where(rid == ly2[:, None, None, :],
+                            1.0 - fy2[:, None, None, :], 0.0)
+                  + jnp.where(rid == ly2[:, None, None, :] + 1,
+                              fy2[:, None, None, :], 0.0))
+            s = jnp.sum(gv * wk.astype(gv.dtype), axis=1)
+            left = s[..., :tile]
+            right = s[..., tile:]
+            outv = left + (right - left) * fx[:, None, :].astype(s.dtype)
+            outv = outv * valid[:, None, :].astype(s.dtype)
 
-        left = s[..., :TILE]
-        right = s[..., TILE:]
-        outv = left + (right - left) * fx[:, None, :].astype(s.dtype)
-        outv = outv * valid[:, None, :].astype(s.dtype)  # [NBLK, C, TILE]
-
-        refv = ref_ref[0]                              # [ROWS, C, TILE]
+        refv = ref_ref[0]                              # [ROWS, C, tile]
         if dks > 1:
-            refv = jnp.concatenate([refv] * dks)       # [NBLK, C, TILE]
+            refv = jnp.concatenate([refv] * dks)       # [NBLK, C, tile]
         prod = outv * refv
-        corr = jnp.mean(prod.reshape(nblk, g_total, cg, TILE), axis=2)
-        out_ref[0, d0:d0 + dks] = corr.reshape(dks, rows, g_total, TILE)
+        corr = jnp.mean(prod.reshape(nblk, g_total, cg, tile), axis=2)
+        out_ref[0, d0:d0 + dks] = corr.reshape(dks, rows, g_total, tile)
 
 
 def _pad_to(x, size, axis, value=0):
@@ -383,7 +398,7 @@ def _pad_to(x, size, axis, value=0):
 
 
 def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows=ROWS,
-                     band=BAND_ROWS, win_w=WIN_W):
+                     band=BAND_ROWS, win_w=WIN_W, tile=TILE):
     """Window bases + per-(d,row) band offsets from padded integer corners.
 
     xi/yi/valid: [N, D, H, W] (already +1 padded-coord ints / bool).
@@ -391,8 +406,8 @@ def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows=ROWS,
              dims (hb, t_tiles, ws_pad, nw)).
     """
     n = xi.shape[0]
-    t_tiles = -(-w // TILE)
-    w_pad = t_tiles * TILE
+    t_tiles = -(-w // tile)
+    w_pad = t_tiles * tile
     hb = -(-h // rows)
     h_pad = hb * rows
     nw = -(-d // wg)
@@ -410,8 +425,8 @@ def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows=ROWS,
     # group the depth axis into nw chunks of wg (sentinel-padded)
     xs = _pad_to(xs, nw * wg, axis=1, value=10 ** 8)
     ys = _pad_to(ys, nw * wg, axis=1, value=10 ** 8)
-    xs = xs.reshape(n, nw, wg, hb, rows, t_tiles, TILE)
-    ys = ys.reshape(n, nw, wg, hb, rows, t_tiles, TILE)
+    xs = xs.reshape(n, nw, wg, hb, rows, t_tiles, tile)
+    ys = ys.reshape(n, nw, wg, hb, rows, t_tiles, tile)
 
     ws2, hs2 = ws + 2, hs + 2
     ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, win_w)
@@ -428,7 +443,7 @@ def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows=ROWS,
     # per-(d, row) band offset inside the window: min valid y of the
     # row's tile, relative to the group's by, clipped to the window
     ys_row = jnp.where(valid_p, yi_p, big).reshape(
-        n, d, hb, rows, t_tiles, TILE)
+        n, d, hb, rows, t_tiles, tile)
     row_min = jnp.min(ys_row, axis=5)                  # [N, D, HB, rows, T]
     by_full = jnp.repeat(by, wg, axis=1)[:, :d]        # [N, D, HB, T]
     rstart = jnp.clip(row_min - by_full[:, :, :, None, :], 0,
@@ -459,7 +474,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      win_k: int = WIN_K, rows: int = ROWS,
                      band: int = BAND_ROWS, packed=None, skip: str = "",
                      batch_rows: bool = True, win_w: int = 0,
-                     interpret: bool = False):
+                     tile: int = 0, interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
     src_fea/ref_fea: [N, Hs, Ws, C] / [N, H, W, C]; src_pair/ref_pair:
@@ -485,6 +500,14 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     wg = d if window_group in (0, None) else min(window_group, d)
     win_k = min(win_k, hs + 2)
     use_rowbatch = batch_rows and not packed and not skip
+    if tile == 0:
+        # full-width 128-px tiles on the rowbatch kernel: same gathers
+        # per pixel (one per corner instead of one packed), but every
+        # tail op uses all 128 lanes and each window serves 2x pixels;
+        # the per-(d,r) kernels only implement packed 64-px corners
+        tile = GATHER_W if use_rowbatch else TILE
+    assert tile in (TILE, GATHER_W)
+    assert use_rowbatch or tile == TILE
     if win_w == 0:
         # win_w=GATHER_W (narrow single-gather windows) would save one
         # take + select per chunk, but the HBM->VMEM window DMA requires
@@ -502,7 +525,8 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
 
     bases, rstarts, dims = _window_geometry(
-        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band, win_w)
+        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band, win_w,
+        tile)
     hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
 
     def pad_hw(a, value=0):
@@ -530,26 +554,26 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
         ref_hw = jnp.concatenate([ref_hw[..., 0::2], ref_hw[..., 1::2]],
                                  axis=-1)
     ref_t = _pad_to(_pad_to(ref_hw, w_pad, axis=2), h_pad, axis=1)
-    ref_t = (ref_t.reshape(n, hb, rows, t_tiles, TILE, c)
+    ref_t = (ref_t.reshape(n, hb, rows, t_tiles, tile, c)
              .transpose(0, 1, 3, 2, 5, 4)
-             .reshape(n * hb * t_tiles, rows, c, TILE))
+             .reshape(n * hb * t_tiles, rows, c, tile))
 
     def tile_view(a, dtype):
-        return (pad_hw(a).reshape(n, d, hb, rows, t_tiles, TILE)
+        return (pad_hw(a).reshape(n, d, hb, rows, t_tiles, tile)
                 .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(n * hb * t_tiles, d, rows, TILE)
+                .reshape(n * hb * t_tiles, d, rows, tile)
                 .astype(dtype))
 
-    spec = pl.BlockSpec((1, d, rows, TILE),
+    spec = pl.BlockSpec((1, d, rows, tile),
                         lambda nn, hh, tt, *_:
                         ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    ref_spec = pl.BlockSpec((1, rows, c, TILE),
+    ref_spec = pl.BlockSpec((1, rows, c, tile),
                             lambda nn, hh, tt, *_:
                             ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (1, d, rows, groups, TILE),
+        (1, d, rows, groups, tile),
         lambda nn, hh, tt, *_:
         ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
         memory_space=pltpu.VMEM)
@@ -603,12 +627,12 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n * hb * t_tiles, d, rows, groups, TILE), jnp.float32),
+            (n * hb * t_tiles, d, rows, groups, tile), jnp.float32),
         interpret=interpret,
     )(bases, rstarts, *operands, ref_t, src_t)
 
-    # [N*HB*T, D, rows, G, TILE] -> [N, D, H, W, G]
-    out = out.reshape(n, hb, t_tiles, d, rows, groups, TILE)
+    # [N*HB*T, D, rows, G, tile] -> [N, D, H, W, G]
+    out = out.reshape(n, hb, t_tiles, d, rows, groups, tile)
     out = out.transpose(0, 3, 1, 4, 2, 6, 5)
     out = out.reshape(n, d, h_pad, w_pad, groups)[:, :, :h, :w]
     return out
@@ -899,7 +923,7 @@ def model_miss_fraction(proj_matrices, depth_values, height, width,
 def warp_corr_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
                             window_group: int = 0, win_k: int = WIN_K,
                             rows: int = ROWS, band: int = BAND_ROWS,
-                            win_w: int = 0):
+                            win_w: int = 0, tile: int = 0):
     """Fraction of in-image bilinear samples the banded kernel would zero
     (outside its window OR outside the per-row band). Callers must fall
     back to the XLA path when this is non-negligible for their geometry
@@ -908,24 +932,27 @@ def warp_corr_miss_fraction(src_fea, src_pair, ref_pair, depth_values,
     _, d, h, w = depth_values.shape
     wg = d if window_group in (0, None) else min(window_group, d)
     win_k = min(win_k, hs + 2)
-    if win_w == 0:      # mirror warp_corr_pallas's default
+    if win_w == 0:      # mirror warp_corr_pallas's defaults
         win_w = WIN_W
+    if tile == 0:
+        tile = GATHER_W     # the rowbatch kernel's full-width tiles
 
     rot, trans = relative_projection(src_pair, ref_pair)
     x, y = plane_sweep_coords(rot, trans, depth_values)
     xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
     packed, rstarts, dims = _window_geometry(
-        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band, win_w)
+        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band, win_w,
+        tile)
     hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
 
     def pad_hw(a, value=0):
         return _pad_to(_pad_to(a, w_pad, axis=3, value=value),
                        h_pad, axis=2, value=value)
 
-    xi_p = pad_hw(xi).reshape(n, d, hb, rows, t_tiles, TILE)
-    yi_p = pad_hw(yi).reshape(n, d, hb, rows, t_tiles, TILE)
+    xi_p = pad_hw(xi).reshape(n, d, hb, rows, t_tiles, tile)
+    yi_p = pad_hw(yi).reshape(n, d, hb, rows, t_tiles, tile)
     valid_p = pad_hw(valid, value=False).reshape(
-        n, d, hb, rows, t_tiles, TILE)
+        n, d, hb, rows, t_tiles, tile)
 
     bx = (packed % 65536).reshape(nw, t_tiles, n, hb)
     by = (packed // 65536).reshape(nw, t_tiles, n, hb)
