@@ -97,10 +97,10 @@ def main():
                 src, ref, sp, rp, depths)
         for wg in wgs:
             for variant, kw in (
-                    ("v2 per-(d,r)", {"batch_rows": False}),
-                    ("v2.2 rowbatch", {}),
-                    ("v2.2 rows=16", {"rows": 16}),
-                    ("v2.2 rows=32", {"rows": 32})):
+                    ("t128 rows=16 (default)", {}),
+                    ("t128 rows=8", {"rows": 8}),
+                    ("t128 rows=32", {"rows": 32}),
+                    ("t64 rows=16", {"tile": 64})):
                 miss = float(jax.jit(
                     lambda s, a, b, dd, _wg=wg, _b=kw.get("band", 4):
                     warp_corr_miss_fraction(s, a, b, dd, window_group=_wg,
