@@ -63,13 +63,20 @@ class ModelConfig:
     remat: bool = False
 
     # plane-sweep warp backend:
-    #   "xla"         — corner-packed jnp.take gather (default, general)
-    #   "pallas"      — banded Pallas kernel on the REFINEMENT stages
-    #                   (1.76x end-to-end on v5e; assumes locally-banded
-    #                   sampling windows — exact for refinement hypotheses,
-    #                   see ops/pallas/warp_refine.window_miss_fraction)
-    #   "pallas_full" — also run the stage-1 full sweep through the kernel
-    #                   (per-depth windows; currently slower than XLA there)
+    #   "xla"         — corner-packed jnp.take gather (exact grid_sample
+    #                   semantics everywhere; the general/CPU fallback)
+    #   "pallas"      — fused warp+correlation Pallas kernel on the
+    #                   REFINEMENT stages only (assumes locally-banded
+    #                   sampling windows — exact for refinement
+    #                   hypotheses; runtime-guarded via
+    #                   ops/pallas/warp_corr.model_miss_fraction)
+    #   "pallas_full" — also run the stage-1 full sweep through the
+    #                   kernel (grouped windows). The judged bench
+    #                   configuration: fastest on TPU since the v2.2
+    #                   rowbatch kernel (docs/perf_breakdown.md); the
+    #                   CLI/API resolve "auto" to this on TPU.
+    # The dataclass default stays "xla" (safe everywhere); entry points
+    # (cli/test.py, api.DepthRunner, bench.py) select the fast path.
     warp_kernel: str = "xla"
 
     @property

@@ -87,12 +87,15 @@ class WSConv(nn.Module):
 class Conv7x7RowSum(nn.Module):
     """7x7 conv computed as a sum of 7 shifted 1x7 convs.
 
-    Numerically the same convolution (per-row partial sums are added in
-    f32-accumulating convs; only the add order differs from a direct
-    7x7), with identical parameter names/shapes to nn.Conv — the torch
-    importer and checkpoints are unaffected. Why: XLA's direct 7x7
-    lowering at stage-3 resolution costs ~20 ms on v5e (vs ~0 for 3x3);
-    the row decomposition measures 2.1x faster (tools/bench_tail.py).
+    Numerically the same convolution: each 1x7 partial conv emits f32
+    (preferred_element_type) and the 7 partials are summed in f32 before
+    one cast to the compute dtype — so even in bf16 the result carries a
+    single output rounding, like a direct f32-accumulated 7x7 (only the
+    f32 add order differs). Parameter names/shapes are identical to
+    nn.Conv — the torch importer and checkpoints are unaffected. Why:
+    XLA's direct 7x7 lowering at stage-3 resolution costs ~20 ms on v5e
+    (vs ~0 for 3x3); the row decomposition measures 2.1x faster
+    (tools/bench_tail.py).
     """
 
     features: int
@@ -113,9 +116,10 @@ class Conv7x7RowSum(nn.Module):
             part = jax.lax.conv_general_dilated(
                 xp[:, dy:dy + h], kernel[dy:dy + 1].astype(dtype),
                 (1, 1), ((0, 0), (3, 3)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
             y = part if y is None else y + part
-        return y + bias.astype(dtype)
+        return (y + bias).astype(dtype)
 
 
 class Block(nn.Module):

@@ -1,9 +1,15 @@
-"""Pallas TPU kernels (in progress).
+"""Pallas TPU kernels.
 
-The fused plane-sweep warp kernel — the profiled hot path — is specified in
-docs/pallas_warp_plan.md together with the Mosaic primitives validated on
-v5e (single-tile lane gathers via take_along_axis(axis=1), manual window
-DMA with scalar-prefetched bases, MXU one-hot gathers). The XLA path in
-diffmvs_tpu/geometry/sampling.py (corner-packed lane-axis gather) is the
-current production implementation.
+`warp_corr.py` — the shipping fused plane-sweep warp + group-correlation
+kernel (v2.2/v2.3 "rowbatch": double-buffered window DMAs, scalar-
+prefetched window bases, per-(depth,row) band sub-slicing, all output
+rows and depth chunks folded into single large vector ops, full-width
+128-px tiles). It serves the refinement stages ("pallas") and the
+stage-1 full sweep ("pallas_full", grouped windows) — see
+docs/perf_breakdown.md for the measured history and
+`model_miss_fraction` for the runtime banding guard.
+
+`attic/` — superseded v1 (warp-only) and rejected v3 (fused view
+accumulation) kernels, kept as documented engineering history. Not
+shipping.
 """

@@ -3,10 +3,12 @@
 import numpy as np
 
 
-def make_cams(v, h, w, focal=None, yaw=None):
+def make_cams(v, h, w, focal=None, yaw=None, roll=None):
     """[V, 2, 4, 4] (extrinsic, intrinsic) with ref identity and src views on
     a small arc (yaw overrides the 0.04 rad/view step — big values make a
-    strong-rotation rig). Intrinsics are full-resolution."""
+    strong-rotation rig; roll slants image rows across source rows, the
+    band-miss fixture for the Pallas warp guard). Intrinsics are
+    full-resolution."""
     focal = focal or 1.2 * w
     k = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
                  np.float32)
@@ -17,6 +19,11 @@ def make_cams(v, h, w, focal=None, yaw=None):
         e[:3, :3] = np.array(
             [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
              [-np.sin(th), 0, np.cos(th)]], np.float32)
+        if roll is not None and i > 0:
+            cr, sr = np.cos(roll * i), np.sin(roll * i)
+            rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]],
+                          np.float32)
+            e[:3, :3] = rz @ e[:3, :3]
         e[:3, 3] = [0.25 * i, 0.02 * i, 0.0]
         mat = np.zeros((2, 4, 4), np.float32)
         mat[0] = e

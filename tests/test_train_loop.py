@@ -46,10 +46,10 @@ def _make_blend_scene(root, scan, n_views=4, h=64, w=96):
         save_pfm(str(root / scan / "rendered_depth_maps" / f"{i:08d}.pfm"),
                  np.full((h, w), 6.0, np.float32))
     with open(root / scan / "cams" / "pair.txt", "w") as f:
-        f.write("4\n")
-        for i in range(4):
-            others = [j for j in range(4) if j != i]
-            f.write(f"{i}\n3 " + " ".join(
+        f.write(f"{n_views}\n")
+        for i in range(n_views):
+            others = [j for j in range(n_views) if j != i]
+            f.write(f"{i}\n{len(others)} " + " ".join(
                 f"{j} {10.0 - j}" for j in others) + "\n")
 
 

@@ -101,10 +101,18 @@ def main():
                     ("t128 rows=8", {"rows": 8}),
                     ("t128 rows=32", {"rows": 32}),
                     ("t64 rows=16", {"tile": 64})):
+                # mirror the exact geometry of the warp_corr_pallas call
+                # below (rows/band/tile change window bases and band
+                # offsets, so a defaults-computed miss would mislabel
+                # the non-default variants)
                 miss = float(jax.jit(
-                    lambda s, a, b, dd, _wg=wg, _b=kw.get("band", 4):
-                    warp_corr_miss_fraction(s, a, b, dd, window_group=_wg,
-                                            band=_b)
+                    lambda s, a, b, dd, _wg=wg, _kw=kw:
+                    warp_corr_miss_fraction(
+                        s, a, b, dd, window_group=_wg,
+                        rows=_kw.get("rows", 16),
+                        band=_kw.get("band", 4),
+                        win_w=_kw.get("win_w", 0),
+                        tile=_kw.get("tile", 0))
                 )(src, sp, rp, depths))
                 label = f"pallas wg={wg} {variant} miss={miss:.4f}"
                 sv = (jnp.asarray(src, jnp.bfloat16)
