@@ -105,9 +105,12 @@ def bench_train():
     else:
         b, h, w, nd, nd_init, reps = 4, 512, 640, 384, 48, 4
 
+    # training keeps the XLA warp (the Pallas kernel's VJP story) but
+    # the s2d conv layouts differentiate fine and help on TPU
     model_cfg = dataclasses.replace(
         CASDIFFMVS, numdepth_initial=nd_init, numdepth=nd,
-        compute_dtype="bfloat16", remat=True)
+        compute_dtype="bfloat16", remat=True,
+        unet_s2d=platform == "tpu", feature_s2d=platform == "tpu")
     cfg = TrainConfig(model=model_cfg, batch_size=b)
     model = CasDiffMVS(model_cfg)
 
@@ -246,14 +249,14 @@ def main(batch: int = 0):
     # soft-argmax and diffusion state stay f32 — see ModelConfig), which also
     # halves the plane-sweep gather traffic. tests/test_bf16.py guards the
     # numerics; f32 is a config flip.
-    # "pallas_full": the fused warp+correlation kernel covers the
-    # refinement stages AND the stage-1 full sweep (grouped windows) —
-    # measured 3.7 vs 30 ms (stage-3 call) and 8.2 vs 24 ms (sweep call)
-    # against the XLA gather path; see docs/perf_breakdown.md
-    cfg = dataclasses.replace(CASDIFFMVS, numdepth_initial=nd_init,
-                              numdepth=cfg_nd, compute_dtype="bfloat16",
-                              warp_kernel="pallas_full" if platform == "tpu"
-                              else "xla")
+    # tpu_optimized: the fused warp+correlation kernel on all stages
+    # (pallas_full) + s2d conv layouts for the UNet/encoder/feature
+    # trunk — the shipped TPU fast path (config.py); XLA gather + NHWC
+    # on CPU. See docs/perf_breakdown.md for the measured history.
+    from diffmvs_tpu.config import tpu_optimized
+    cfg = tpu_optimized(dataclasses.replace(
+        CASDIFFMVS, numdepth_initial=nd_init, numdepth=cfg_nd,
+        compute_dtype="bfloat16"))
     model = CasDiffMVS(cfg)
 
     imgs, projs, depth_values = _synthetic_inputs(bsz, 5, h, w, cfg.numdepth)

@@ -57,7 +57,11 @@ class DepthRunner:
     def __init__(self, cfg: ModelConfig, variables, seed: int = 0,
                  warp_kernel: Optional[str] = "auto",
                  guard_threshold: float = MISS_GUARD_THRESHOLD):
-        if warp_kernel is not None:
+        if warp_kernel == "auto":
+            # the full TPU fast path: pallas_full + s2d conv layouts
+            from diffmvs_tpu.config import tpu_optimized
+            cfg = tpu_optimized(cfg)
+        elif warp_kernel is not None:
             cfg = dataclasses.replace(
                 cfg, warp_kernel=resolve_warp_kernel(warp_kernel))
         self.cfg = cfg

@@ -76,12 +76,17 @@ def save_scene_depth(args, cfg, testlist):
     from diffmvs_tpu.data.pipeline import DataPipeline
 
     from diffmvs_tpu.api import MISS_GUARD_THRESHOLD, resolve_warp_kernel
+    from diffmvs_tpu.config import tpu_optimized
 
-    # auto -> "pallas_full" on TPU: the judged bench configuration
-    # (fused kernel on the refinement stages AND the stage-1 sweep);
-    # the per-scene miss guard below falls back to XLA where the banded
-    # windows would drop samples
-    warp_kernel = resolve_warp_kernel(args.warp_kernel)
+    # auto -> the judged bench configuration on TPU (fused Pallas kernel
+    # on the refinement stages AND the stage-1 sweep, s2d conv layouts);
+    # the per-scene miss guard below falls back to warp_kernel=xla where
+    # the banded windows would drop samples (the s2d layouts are exact
+    # and stay on)
+    if args.warp_kernel == "auto":
+        cfg = tpu_optimized(cfg)
+    warp_kernel = (cfg.warp_kernel if args.warp_kernel == "auto"
+                   else resolve_warp_kernel(args.warp_kernel))
 
     model = CasDiffMVS(cfg)         # params are warp-kernel independent
     infer_cache = {}

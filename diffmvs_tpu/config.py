@@ -79,6 +79,20 @@ class ModelConfig:
     # (cli/test.py, api.DepthRunner, bench.py) select the fast path.
     warp_kernel: str = "xla"
 
+    # Run the refinement UNet + condition encoder in space-to-depth
+    # layout (nn/s2d.py): identical math and parameters, but the
+    # C=8-32 convs/norms/elementwise use all 128 TPU lanes instead of
+    # 6-25%, and XLA stops inserting relayout copies between them
+    # (measured: stage-3 UNet call 36.8 -> ~? ms, tools/bench_layout.py).
+    unet_s2d: bool = False
+
+    # Same treatment for the FeatureNet's full/half-res trunk (C=3-16;
+    # conv3x3 8ch at full res measured 9.5 -> 1.6 ms in s2d(4)).
+    feature_s2d: bool = False
+
+    # ...and for the stage-1 PixelViewWeight 3D convs (G=8 lanes).
+    stage1_s2d: bool = False
+
     @property
     def is_cascade(self) -> bool:
         """CasDiffMVS iff stage 2 runs refinement iterations."""
@@ -202,6 +216,24 @@ DIFFMVS_MVG = dataclasses.replace(DIFFMVS, scale=(0.0, 0.125, 0.0))
 # Tanks&Temples uses 96 initial hypotheses (scripts/test/test_tank*.sh)
 CASDIFFMVS_TANK = dataclasses.replace(CASDIFFMVS_MVG, numdepth_initial=96)
 DIFFMVS_TANK = dataclasses.replace(DIFFMVS_MVG, numdepth_initial=96)
+
+def tpu_optimized(cfg: ModelConfig, backend: str = None) -> ModelConfig:
+    """Resolve the TPU fast path onto a preset: the fused Pallas
+    warp+correlation kernel (runtime-guarded) and the s2d layouts for
+    the UNet/encoder/feature trunk. On CPU the config is returned
+    unchanged: the s2d expansion pays s^2 x conv FLOPs for a lane win
+    that only exists on TPU, and the Pallas kernel would run
+    interpret-mode. Entry points (cli/test.py, api.DepthRunner,
+    bench.py, __graft_entry__) route "auto" through this."""
+    if backend is None:
+        import jax
+        backend = jax.default_backend()
+    if backend != "tpu":
+        return cfg
+    return dataclasses.replace(cfg, warp_kernel="pallas_full",
+                               unet_s2d=True, feature_s2d=True,
+                               stage1_s2d=True)
+
 
 MODEL_PRESETS = {
     "diffmvs": DIFFMVS,

@@ -62,11 +62,13 @@ class CasDiffMVS(nn.Module):
 
         self.feature = FeatureNet(
             base_channels=cfg.base_channels,
-            out_channels=cfg.feat_dim_stage, dtype=dt)
+            out_channels=cfg.feat_dim_stage, s2d=cfg.feature_s2d,
+            dtype=dt)
         self.context = ContextNet(out_dim=cfg.ctx_out_dim, dtype=dt)
         self.depthnet = InitialStage(
             group_dim=cfg.cost_dim_stage[0], up_ratio=2,
-            warp_kernel=cfg.warp_kernel, dtype=dt)
+            warp_kernel=cfg.warp_kernel, stage1_s2d=cfg.stage1_s2d,
+            dtype=dt)
 
         hidden_inits, stages = [], []
         for s in (1, 2):
@@ -96,6 +98,7 @@ class CasDiffMVS(nn.Module):
                 max_radius=cfg.max_radius,
                 remat=cfg.remat,
                 warp_kernel=cfg.warp_kernel,
+                unet_s2d=cfg.unet_s2d,
                 dtype=dt,
                 name=f"update_block{s}"))
         self.hidden_inits = hidden_inits

@@ -52,15 +52,18 @@ class RefineIteration(nn.Module):
     min_radius: float
     max_radius: float
     warp_kernel: str = "xla"
+    unet_s2d: bool = False
     dtype: Optional[Any] = None
 
     def setup(self):
+        s0 = 2 ** (len(self.dim_mults) - 1) if self.unet_s2d else 1
         self.encoder = ConditionEncoder(
             hidden_dim=self.context_dim, out_chs=self.context_dim,
-            dtype=self.dtype, name="encoder")
+            s2d=s0, dtype=self.dtype, name="encoder")
         self.unet = DiffusionUNet(
             dim=self.unet_dim, hidden_dim=self.hidden_dim,
-            dim_mults=self.dim_mults, dtype=self.dtype, name="unet")
+            dim_mults=self.dim_mults, s2d=self.unet_s2d,
+            dtype=self.dtype, name="unet")
 
     def __call__(self, carry, context, t, inv_depth, features, proj_pairs,
                  depth_min, depth_max, view_weights):
@@ -111,6 +114,7 @@ class RefinementStage(nn.Module):
     max_radius: float = 2.0
     remat: bool = False
     warp_kernel: str = "xla"
+    unet_s2d: bool = False
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -135,6 +139,7 @@ class RefinementStage(nn.Module):
             depth_interval=self.depth_interval,
             min_radius=self.min_radius, max_radius=self.max_radius,
             warp_kernel=self.warp_kernel,
+            unet_s2d=self.unet_s2d,
             dtype=self.dtype, name="cell")
         self.mask = UpsampleMaskHead(self.up_ratio, dtype=self.dtype,
                                      name="mask")

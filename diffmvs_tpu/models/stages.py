@@ -55,6 +55,7 @@ class InitialStage(nn.Module):
     group_dim: int = 8           # correlation groups (cost_dim_stage[0])
     up_ratio: int = 2
     warp_kernel: str = "xla"
+    stage1_s2d: bool = False     # s2d layout for PixelViewWeight
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -74,7 +75,8 @@ class InitialStage(nn.Module):
                                        name="mask")(context)
 
         ref_fea = features[0]
-        pvw = PixelViewWeight(name="pixel_view_weight")
+        pvw = PixelViewWeight(s2d=4 if self.stage1_s2d else 1,
+                              dtype=self.dtype, name="pixel_view_weight")
 
         cor_list, weight_list = [], []
         for i, src_fea in enumerate(features[1:]):

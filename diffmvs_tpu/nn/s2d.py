@@ -1,0 +1,340 @@
+"""Space-to-depth (s2d) execution of small-channel conv stacks.
+
+Why: on TPU, NHWC tensors with C = 8-32 waste the 128-wide lane axis in
+every elementwise/norm op and force XLA into relayout copies between
+convs — measured ~25 ms of a 37 ms stage-3 UNet call and ~140 ms/forward
+of trace-level copies (docs/perf_breakdown.md, tools/bench_layout.py).
+Running the same math on an s2d(s) view multiplies the channel axis by
+s^2 (8ch -> 128ch at s=4) at 1/s^2 the spatial size: identical values,
+full lanes, no relayouts. tools/bench_layout.py measured the s2d(4)
+equivalents of every stage-3 UNet piece at ~0 ms (init 7x7: 9.9 -> ~0;
+feature-net 3x3 8ch: 9.5 -> 1.6).
+
+Representation: [B, H, W, C] -> [B, H/s, W/s, C*s*s] with channel index
+(c*s + p1)*s + p2 ("c-major"). c-major makes channel concatenation and
+contiguous GroupNorm groups commute with s2d.
+
+A stride-t KxK conv on the original tensor is computed EXACTLY (same
+multiply-accumulates, MXU f32 accumulation) as a small conv on the s2d
+view whose kernel is the original weights scattered into a structured
+(s^2*Cin -> (s/t)^2*Cout) kernel of mostly zeros — more MACs, but
+small-C convs are lane-bound, not FLOP-bound. Parameters keep their
+ORIGINAL shapes and names (the expansion happens at apply time), so
+checkpoints and the torch importer are untouched.
+
+No reference counterpart: the reference leaves layout to cuDNN
+(/root/reference/models/update.py:38-274 runs plain NCHW convs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def to_s2d(x, s: int):
+    """[B,H,W,C] -> [B,H/s,W/s,C*s*s], channel index (c*s+p1)*s+p2."""
+    if s == 1:
+        return x
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // s, s, w // s, s, c)
+    return y.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // s, w // s,
+                                                 c * s * s)
+
+
+def from_s2d(x, s: int):
+    """Inverse of to_s2d."""
+    if s == 1:
+        return x
+    b, h, w, cs = x.shape
+    c = cs // (s * s)
+    y = x.reshape(b, h, w, c, s, s)
+    return y.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * s, w * s, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_map(k: int, s_in: int, stride: int, offset: int
+              ) -> Tuple[np.ndarray, int]:
+    """One-hot placement along one spatial axis.
+
+    Original conv: output index O reads input O*stride - offset + kappa,
+    kappa in [0, k). In s2d coordinates (input repr s2d(s_in), output
+    repr s2d(s_in//stride)), output s2d pixel j subpixel q reads input
+    s2d pixel j+delta subpixel p where
+        kappa = delta*s_in + p - q*stride + offset.
+    Returns (S [K, s_in, so, k] with S[delta+R, p, q, kappa] = 1, R).
+    """
+    so = s_in // stride
+    trips = []
+    r_need = 0
+    for d in range(-(k + s_in) // s_in - 1, (k + s_in) // s_in + 2):
+        for p in range(s_in):
+            for q in range(so):
+                kap = d * s_in + p - q * stride + offset
+                if 0 <= kap < k:
+                    trips.append((d, p, q, kap))
+                    r_need = max(r_need, abs(d))
+    kk = 2 * r_need + 1
+    s_mat = np.zeros((kk, s_in, so, k), np.float32)
+    for d, p, q, kap in trips:
+        s_mat[d + r_need, p, q, kap] = 1.0
+    return s_mat, r_need
+
+
+def expand_kernel(w, s_in: int, stride: int = 1,
+                  offset: Optional[int] = None):
+    """[kh,kw,Cin,Cout] -> structured s2d kernel
+    [Kh,Kw, s_in^2*Cin, so^2*Cout] (so = s_in//stride), c-major channel
+    order on both sides. offset defaults to k//2 ("same" conv); pass 0
+    for an unpadded aligned conv (e.g. the 2x2/s2 space-to-depth)."""
+    kh, kw, cin, cout = w.shape
+    sh, _ = _axis_map(kh, s_in, stride,
+                      kh // 2 if offset is None else offset)
+    sw, _ = _axis_map(kw, s_in, stride,
+                      kw // 2 if offset is None else offset)
+    so = s_in // stride
+    # out[x,y, i,p,r, o,q,t] = sum_{a,b} Sh[x,p,q,a] Sw[y,r,t,b] w[a,b,i,o]
+    wex = jnp.einsum("xpqa,yrtb,abio->xyiproqt",
+                     jnp.asarray(sh, w.dtype), jnp.asarray(sw, w.dtype), w)
+    k2h, k2w = sh.shape[0], sw.shape[0]
+    return wex.reshape(k2h, k2w, s_in * s_in * cin, so * so * cout)
+
+
+def conv_s2d(x, w, bias, s: int, stride: int = 1,
+             offset: Optional[int] = None, dtype=None,
+             preferred_f32: bool = False):
+    """Run the original conv (w [kh,kw,Cin,Cout], bias [Cout] or None) on
+    an s2d(s) input; returns the s2d(s//stride) output (same physical
+    resolution)."""
+    dtype = dtype or x.dtype
+    if s == 1:
+        kh, kw = w.shape[0], w.shape[1]
+        off = kh // 2 if offset is None else offset
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), (stride, stride),
+            ((off, kh - 1 - off), (off, kw - 1 - off)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=(jnp.float32 if preferred_f32
+                                    else None))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y if preferred_f32 else y.astype(dtype)
+    so = s // stride
+    wex = expand_kernel(w, s, stride, offset)
+    kk = wex.shape[0] // 2, wex.shape[1] // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), wex.astype(dtype), (1, 1),
+        ((kk[0], kk[0]), (kk[1], kk[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if preferred_f32 else None)
+    if bias is not None:
+        y = y + jnp.repeat(bias, so * so).astype(y.dtype)
+    return y if preferred_f32 else y.astype(dtype)
+
+
+def conv3d_s2d(x, w, bias, s: int, dtype=None):
+    """Stride-1 3D conv ([kd,kh,kw,Cin,Cout], torch-style k//2 padding)
+    on a volume whose H/W axes are in s2d(s) layout:
+    x [B, D, H/s, W/s, Cin*s*s] -> [B, D, H/s, W/s, Cout*s*s].
+    The depth axis stays native; only the spatial taps expand. Same
+    MACs-per-lane as the direct conv at C=8 (the expansion factor equals
+    the lane-waste factor) but every elementwise/norm op gets full
+    lanes — the PixelViewWeight fix (docs/perf_breakdown.md r2 item 4:
+    "the win needs channel widening")."""
+    dtype = dtype or x.dtype
+    kd, kh, kw, cin, cout = w.shape
+    if s == 1:
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), (1, 1, 1),
+            ((kd // 2, kd // 2), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + bias.astype(dtype) if bias is not None else y
+    sh, _ = _axis_map(kh, s, 1, kh // 2)
+    sw, _ = _axis_map(kw, s, 1, kw // 2)
+    wex = jnp.einsum("xpqa,yrtb,dabio->dxyiproqt",
+                     jnp.asarray(sh, w.dtype), jnp.asarray(sw, w.dtype), w)
+    k2h, k2w = sh.shape[0], sw.shape[0]
+    wex = wex.reshape(kd, k2h, k2w, s * s * cin, s * s * cout)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), wex.astype(dtype), (1, 1, 1),
+        ((kd // 2, kd // 2), (k2h // 2, k2h // 2), (k2w // 2, k2w // 2)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if bias is not None:
+        y = y + jnp.repeat(bias, s * s).astype(y.dtype)
+    return y
+
+
+def repeat_channels(v, s: int):
+    """Per-original-channel vector -> s2d channels (c-major)."""
+    if s == 1:
+        return v
+    return jnp.repeat(v, s * s, axis=-1)
+
+
+def upsample_nearest_s2d(x, s_in: int):
+    """Nearest x2 on the original tensor: s2d(s_in) repr -> s2d(2*s_in)
+    repr at the SAME physical resolution (pure channel gather:
+    (c, p1, p2) <- (c, p1//2, p2//2))."""
+    cs = x.shape[-1]
+    c = cs // (s_in * s_in)
+    s_out = 2 * s_in
+    idx = np.empty(c * s_out * s_out, np.int32)
+    for ci in range(c):
+        for p1 in range(s_out):
+            for p2 in range(s_out):
+                idx[(ci * s_out + p1) * s_out + p2] = (
+                    (ci * s_in + p1 // 2) * s_in + p2 // 2)
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+class ConvS2D(nn.Module):
+    """nn.Conv drop-in (same 'kernel'/'bias' param names and ORIGINAL
+    shapes) that executes on an s2d(s) input and emits the
+    s2d(s//stride) output."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    s: int = 1
+    stride: int = 1
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Union[Callable, Any] = nn.initializers.zeros
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = int(x.shape[-1]) // (self.s * self.s)
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return conv_s2d(x, kernel, bias, self.s, self.stride,
+                        dtype=self.dtype or x.dtype)
+
+
+def to_s2d_vol(x, s: int):
+    """[B,D,H,W,C] -> [B,D,H/s,W/s,C*s*s] (H/W axes only)."""
+    if s == 1:
+        return x
+    b, d, h, w, c = x.shape
+    return to_s2d(x.reshape(b * d, h, w, c), s).reshape(
+        b, d, h // s, w // s, c * s * s)
+
+
+def from_s2d_vol(x, s: int):
+    """Inverse of to_s2d_vol."""
+    if s == 1:
+        return x
+    b, d, h, w, cs = x.shape
+    return from_s2d(x.reshape(b * d, h, w, cs), s).reshape(
+        b, d, h * s, w * s, cs // (s * s))
+
+
+class Conv3DS2D(nn.Module):
+    """3D nn.Conv drop-in (same 'kernel'/'bias' names, ORIGINAL shapes)
+    executing on a volume with s2d(s) H/W axes (stride 1)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    s: int = 1
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Union[Callable, Any] = nn.initializers.zeros
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel_size
+        cin = int(x.shape[-1]) // (self.s * self.s)
+        kernel = self.param("kernel", self.kernel_init,
+                            (kd, kh, kw, cin, self.features), jnp.float32)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return conv3d_s2d(x, kernel, bias, self.s,
+                          dtype=self.dtype or x.dtype)
+
+
+class BatchNormS2D(nn.Module):
+    """nn.BatchNorm drop-in on an s2d(s) input: same param tree
+    ('scale'/'bias' in params, 'mean'/'var' in batch_stats, all of
+    ORIGINAL channel length C). Per-original-channel statistics reduce
+    over (B, h, w) and the s^2 sub-channel phases (c-major order), so
+    train-mode stats equal the NHWC BatchNorm's. Matches flax semantics:
+    biased variance, running = momentum*running + (1-momentum)*batch.
+    """
+
+    s: int = 1
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [..., C*s*s] (any number of leading batch/spatial dims)."""
+        cs = x.shape[-1]
+        ss = self.s * self.s
+        c = cs // ss
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32).reshape(x.shape[:-1] + (c, ss))
+            red = tuple(range(x.ndim - 1)) + (x.ndim,)
+            mean = xf.mean(axis=red)
+            var = ((xf - mean[:, None]) ** 2).mean(axis=red)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        mul = repeat_channels(
+            scale * jax.lax.rsqrt(var + self.epsilon), self.s)
+        add = repeat_channels(bias - mean * scale
+                              * jax.lax.rsqrt(var + self.epsilon), self.s)
+        y = x.astype(jnp.float32) * mul + add
+        return y.astype(self.dtype or x.dtype)
+
+
+class GroupNormS2D(nn.Module):
+    """nn.GroupNorm drop-in (same 'scale'/'bias' params, original C) on
+    an s2d(s) input. c-major channel order keeps groups contiguous, so
+    the statistics are identical to NHWC GroupNorm."""
+
+    num_groups: int
+    s: int = 1
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cs = x.shape
+        c = cs // (self.s * self.s)
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          jnp.float32)
+        g = self.num_groups
+        xf = x.astype(jnp.float32).reshape(b, h, w, g, cs // g)
+        mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(
+            b, h, w, cs)
+        y = (y * repeat_channels(scale, self.s)
+             + repeat_channels(bias, self.s))
+        return y.astype(self.dtype or x.dtype)

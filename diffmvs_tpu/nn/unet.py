@@ -25,6 +25,15 @@ from diffmvs_tpu.nn.layers import (
     torch_bias_init,
     torch_kernel_init,
 )
+from diffmvs_tpu.nn.s2d import (
+    ConvS2D,
+    GroupNormS2D,
+    conv_s2d,
+    from_s2d,
+    repeat_channels,
+    to_s2d,
+    upsample_nearest_s2d,
+)
 
 Dtype = Any
 
@@ -58,16 +67,18 @@ class WSConv(nn.Module):
 
     Kernel is standardized over (kh, kw, in) per output channel with biased
     variance; eps 1e-5 in float32 (1e-3 in lower precision).
+    s > 1 runs the identical math on an s2d(s) input (nn/s2d.py).
     """
 
     features: int
     kernel_size: int = 3
+    s: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        in_ch = int(x.shape[-1])
+        in_ch = int(x.shape[-1]) // (self.s * self.s)
         kernel = self.param("kernel", torch_kernel_init,
                             (k, k, in_ch, self.features), jnp.float32)
         bias = self.param("bias", torch_bias_init(in_ch * k * k),
@@ -77,6 +88,8 @@ class WSConv(nn.Module):
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
         w = (kernel - mean) * jax.lax.rsqrt(var + eps)
         dtype = self.dtype or x.dtype
+        if self.s > 1:
+            return conv_s2d(x, w, bias, self.s, dtype=dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), w.astype(dtype), (1, 1),
             ((k // 2, k // 2), (k // 2, k // 2)),
@@ -99,16 +112,23 @@ class Conv7x7RowSum(nn.Module):
     """
 
     features: int
+    s: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        cin = int(x.shape[-1])
+        cin = int(x.shape[-1]) // (self.s * self.s)
         kernel = self.param("kernel", torch_kernel_init,
                             (7, 7, cin, self.features), jnp.float32)
         bias = self.param("bias", torch_bias_init(cin * 49),
                           (self.features,), jnp.float32)
         dtype = self.dtype or x.dtype
+        if self.s > 1:
+            # s2d: one structured small conv (3x3 at s=4, 5x5 at s=2)
+            # replaces both the direct 7x7 AND the row decomposition —
+            # measured ~0 ms vs 9.9 ms (tools/bench_layout.py)
+            return conv_s2d(x, kernel, bias, self.s, dtype=dtype,
+                            preferred_f32=True).astype(dtype)
         h = x.shape[1]
         xp = jnp.pad(x, ((0, 0), (3, 3), (0, 0), (0, 0))).astype(dtype)
         y = None
@@ -127,15 +147,24 @@ class Block(nn.Module):
 
     features: int
     groups: int = 8
+    s: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = WSConv(self.features, 3, dtype=self.dtype, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=self.dtype, name="norm")(x)
+        x = WSConv(self.features, 3, s=self.s, dtype=self.dtype,
+                   name="proj")(x)
+        if self.s > 1:
+            x = GroupNormS2D(num_groups=self.groups, s=self.s,
+                             epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        else:
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
+            if self.s > 1:
+                scale = repeat_channels(scale, self.s)
+                shift = repeat_channels(shift, self.s)
             x = x * (scale + 1.0) + shift
         return nn.silu(x)
 
@@ -146,6 +175,7 @@ class ResnetBlock(nn.Module):
     features: int
     groups: int = 4
     time_conditioned: bool = True
+    s: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -157,15 +187,23 @@ class ResnetBlock(nn.Module):
             t = t[:, None, None, :]
             scale_shift = jnp.split(t, 2, axis=-1)
 
-        h = Block(self.features, self.groups, dtype=self.dtype,
+        h = Block(self.features, self.groups, s=self.s, dtype=self.dtype,
                   name="block1")(x, scale_shift)
-        h = Block(self.features, self.groups, dtype=self.dtype,
+        h = Block(self.features, self.groups, s=self.s, dtype=self.dtype,
                   name="block2")(h)
 
-        if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1), kernel_init=torch_kernel_init,
-                        bias_init=torch_bias_init(int(x.shape[-1])),
-                        dtype=self.dtype, name="res_conv")(x)
+        cin = int(x.shape[-1]) // (self.s * self.s)
+        if cin != self.features:
+            if self.s > 1:
+                x = ConvS2D(self.features, (1, 1), s=self.s,
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(cin),
+                            dtype=self.dtype, name="res_conv")(x)
+            else:
+                x = nn.Conv(self.features, (1, 1),
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(cin),
+                            dtype=self.dtype, name="res_conv")(x)
         return h + x
 
 
@@ -173,30 +211,74 @@ class Downsample(nn.Module):
     """Space-to-depth (2x2) + 1x1 conv — parity: update.py:44-48.
 
     Channel order matches einops 'b c (h p1) (w p2) -> b (c p1 p2) h w'
-    translated to NHWC: index = c*4 + p1*2 + p2.
+    translated to NHWC: index = c*4 + p1*2 + p2. With s > 1 the input is
+    an s2d(s) repr and the op — equivalent to an unpadded 2x2/stride-2
+    conv — emits the s2d(s//2) repr at the SAME physical resolution.
     """
 
     features: int
+    s: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c * 4)
-        return nn.Conv(self.features, (1, 1), kernel_init=torch_kernel_init,
-                       bias_init=torch_bias_init(c * 4),
-                       dtype=self.dtype, name="conv")(x)
+        b, h, w, cs = x.shape
+        if self.s == 1:
+            c = cs
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2,
+                                                      c * 4)
+            return nn.Conv(self.features, (1, 1),
+                           kernel_init=torch_kernel_init,
+                           bias_init=torch_bias_init(c * 4),
+                           dtype=self.dtype, name="conv")(x)
+        return _DownsampleS2D(self.features, self.s, dtype=self.dtype,
+                              name="conv")(x)
+
+
+class _DownsampleS2D(nn.Module):
+    """The s2d(s) execution of Downsample. Param tree matches nn.Conv
+    ('kernel' [1,1,4C,features], 'bias') under the same "conv" scope."""
+
+    features: int
+    s: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = int(x.shape[-1]) // (self.s * self.s)
+        kernel = self.param("kernel", torch_kernel_init,
+                            (1, 1, 4 * c, self.features), jnp.float32)
+        bias = self.param("bias", torch_bias_init(4 * c),
+                          (self.features,), jnp.float32)
+        # [1,1,(c*2+r1)*2+r2, out] -> 2x2 unpadded stride-2 conv kernel
+        k2 = kernel.reshape(c, 2, 2, self.features).transpose(1, 2, 0, 3)
+        return conv_s2d(x, k2, bias, self.s, stride=2, offset=0,
+                        dtype=self.dtype or x.dtype)
 
 
 class Upsample(nn.Module):
-    """Nearest x2 + 3x3 conv — parity: update.py:38-42."""
+    """Nearest x2 + 3x3 conv — parity: update.py:38-42.
+
+    In s2d mode the input is an s2d(s) repr (s=1 at the bottleneck);
+    nearest x2 is a pure channel gather into the s2d(2s) repr at the
+    SAME physical resolution, then the 3x3 conv runs expanded at 2s.
+    """
 
     features: int
+    s: int = 1                    # input repr factor
+    s2d_mode: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.s2d_mode:
+            x = upsample_nearest_s2d(x, self.s)
+            cin = int(x.shape[-1]) // (4 * self.s * self.s)
+            return ConvS2D(self.features, (3, 3), s=2 * self.s,
+                           kernel_init=torch_kernel_init,
+                           bias_init=torch_bias_init(cin * 9),
+                           dtype=self.dtype, name="conv")(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                        kernel_init=torch_kernel_init,
@@ -205,12 +287,21 @@ class Upsample(nn.Module):
 
 
 class DiffusionUNet(nn.Module):
-    """The per-stage denoiser — parity: update.py:161-274."""
+    """The per-stage denoiser — parity: update.py:161-274.
+
+    s2d=True executes every level above the bottleneck in space-to-depth
+    layout (level ind runs at s = 2^(L-1-ind), so the GRU bottleneck is
+    always native): identical math and parameters, but the C=8-32 convs,
+    norms and elementwise ops use all 128 TPU lanes — see nn/s2d.py and
+    tools/bench_layout.py. Boundary conversions happen once at the input
+    and once at the two heads.
+    """
 
     dim: int                      # base feature dim (unet_dim[s])
     hidden_dim: int               # GRU hidden state channels
     dim_mults: Tuple[int, ...] = (1, 2)
     resnet_block_groups: int = 4
+    s2d: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -222,6 +313,11 @@ class DiffusionUNet(nn.Module):
         dims = [self.dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         g = self.resnet_block_groups
+        nlvl = len(in_out)
+        s0 = 2 ** (nlvl - 1) if self.s2d else 1
+
+        def s_at(lvl):
+            return max(s0 >> lvl, 1)
 
         # time embedding MLP (update.py:204-211)
         time_dim = self.dim * 4
@@ -230,24 +326,34 @@ class DiffusionUNet(nn.Module):
         t = nn.gelu(t, approximate=False)
         t = Dense(time_dim, dtype=dt, name="time_mlp_2")(t)
 
-        x = Conv7x7RowSum(self.dim, dtype=dt, name="init_conv")(x)
+        x = to_s2d(x, s0)
+        x = Conv7x7RowSum(self.dim, s=s0, dtype=dt, name="init_conv")(x)
         r = x
 
         skips = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
-            x = ResnetBlock(dim_in, g, dtype=dt,
+            s = s_at(ind)
+            x = ResnetBlock(dim_in, g, s=s, dtype=dt,
                             name=f"down_{ind}_block")(x, t)
             skips.append(x)
             if not is_last:
-                x = Downsample(dim_out, dtype=dt, name=f"down_{ind}_ds")(x)
+                x = Downsample(dim_out, s=s, dtype=dt,
+                               name=f"down_{ind}_ds")(x)
+            elif s > 1:
+                x = ConvS2D(dim_out, (3, 3), s=s,
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(dim_in * 9),
+                            dtype=dt, name=f"down_{ind}_conv")(x)
             else:
                 x = nn.Conv(dim_out, (3, 3), padding=((1, 1), (1, 1)),
                             kernel_init=torch_kernel_init,
                             bias_init=torch_bias_init(dim_in * 9),
                             dtype=dt, name=f"down_{ind}_conv")(x)
 
-        # recurrent bottleneck (update.py:229,258-259)
+        # recurrent bottleneck (update.py:229,258-259) — always native
+        # layout: s_at(nlvl - 1) == 1 by construction
+        x = from_s2d(x, s_at(nlvl - 1))
         hidden = SepConvGRU(self.hidden_dim, dtype=dt, name="gru")(hidden, x)
         # mid block is NOT time-conditioned (update.py:230 passes no
         # time_emb_dim, so its forward ignores t)
@@ -256,11 +362,19 @@ class DiffusionUNet(nn.Module):
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
+            lvl = nlvl - 1 - ind
+            s = s_at(lvl)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, g, dtype=dt,
+            x = ResnetBlock(dim_out, g, s=s, dtype=dt,
                             name=f"up_{ind}_block")(x, t)
             if not is_last:
-                x = Upsample(dim_in, dtype=dt, name=f"up_{ind}_us")(x)
+                x = Upsample(dim_in, s=s, s2d_mode=s0 > 1, dtype=dt,
+                             name=f"up_{ind}_us")(x)
+            elif s > 1:
+                x = ConvS2D(dim_in, (3, 3), s=s,
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(dim_out * 9),
+                            dtype=dt, name=f"up_{ind}_conv")(x)
             else:
                 x = nn.Conv(dim_in, (3, 3), padding=((1, 1), (1, 1)),
                             kernel_init=torch_kernel_init,
@@ -268,14 +382,27 @@ class DiffusionUNet(nn.Module):
                             dtype=dt, name=f"up_{ind}_conv")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, g, dtype=dt, name="final_res_block")(x, t)
+        x = ResnetBlock(self.dim, g, s=s0, dtype=dt,
+                        name="final_res_block")(x, t)
 
-        delta = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
-                        bias_init=torch_bias_init(self.dim),
-                        dtype=dt, name="final_conv")(x)
-        conf = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
-                       bias_init=torch_bias_init(self.dim),
-                       dtype=dt, name="conf")(x)
+        if s0 > 1:
+            delta = ConvS2D(1, (1, 1), s=s0,
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(self.dim),
+                            dtype=dt, name="final_conv")(x)
+            conf = ConvS2D(1, (1, 1), s=s0,
+                           kernel_init=torch_kernel_init,
+                           bias_init=torch_bias_init(self.dim),
+                           dtype=dt, name="conf")(x)
+            delta = from_s2d(delta, s0)
+            conf = from_s2d(conf, s0)
+        else:
+            delta = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(self.dim),
+                            dtype=dt, name="final_conv")(x)
+            conf = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
+                           bias_init=torch_bias_init(self.dim),
+                           dtype=dt, name="conf")(x)
         return hidden, delta[..., 0], nn.sigmoid(conf[..., 0])
 
 
@@ -284,27 +411,41 @@ class ConditionEncoder(nn.Module):
 
     Parity: update.py:276-297. Output has out_chs-1 learned channels with the
     raw inverse depth concatenated as the last channel.
+
+    s2d > 1 runs the five 3x3 convs in space-to-depth layout (the c-major
+    channel order commutes with concatenation, so only the in/out
+    boundaries convert — measured free, tools/bench_layout.py).
     """
 
     hidden_dim: int               # context_dim[s]
     out_chs: int                  # context_dim[s]
+    s2d: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, depth, depth_values, cost_volume):
         """depth: [B,H,W,1]; depth_values: [B,H,W,CostNum];
         cost_volume: [B,H,W,G*CostNum]."""
+        s = self.s2d
 
         def c3(name, feats, x):
+            cin = int(x.shape[-1]) // (s * s)
+            if s > 1:
+                return ConvS2D(feats, (3, 3), s=s,
+                               kernel_init=torch_kernel_init,
+                               bias_init=torch_bias_init(cin * 9),
+                               dtype=self.dtype, name=name)(x)
             return nn.Conv(feats, (3, 3), padding=((1, 1), (1, 1)),
                            kernel_init=torch_kernel_init,
-                           bias_init=torch_bias_init(int(x.shape[-1]) * 9),
+                           bias_init=torch_bias_init(cin * 9),
                            dtype=self.dtype, name=name)(x)
 
+        cost_volume = to_s2d(cost_volume, s)
+        depth_values = to_s2d(depth_values, s)
         c = nn.relu(c3("convc1", self.hidden_dim, cost_volume))
         c = nn.relu(c3("convc2", self.hidden_dim, c))
         d = nn.relu(c3("convd1", self.hidden_dim, depth_values))
         d = nn.relu(c3("convd2", self.hidden_dim, d))
         feat = jnp.concatenate([c, d], axis=-1)
-        out = nn.relu(c3("output", self.out_chs - 1, feat))
+        out = from_s2d(nn.relu(c3("output", self.out_chs - 1, feat)), s)
         return jnp.concatenate([out, depth], axis=-1)

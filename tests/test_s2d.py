@@ -1,0 +1,236 @@
+"""Space-to-depth layout (nn/s2d.py): exact parity with NHWC execution.
+
+The s2d path must be a pure layout change — same parameters, same math
+(modulo float reassociation), same outputs. These tests run everything
+in f32 on CPU with tight tolerances.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffmvs_tpu.nn.s2d import (
+    conv_s2d,
+    expand_kernel,
+    from_s2d,
+    to_s2d,
+    upsample_nearest_s2d,
+)
+
+
+def test_to_from_s2d_roundtrip(rng):
+    x = jnp.asarray(rng.rand(2, 16, 24, 5).astype(np.float32))
+    for s in (1, 2, 4):
+        y = to_s2d(x, s)
+        assert y.shape == (2, 16 // s, 24 // s, 5 * s * s)
+        np.testing.assert_array_equal(np.asarray(from_s2d(y, s)), x)
+
+
+def test_s2d_channel_order_c_major(rng):
+    """Channel index (c*s+p1)*s+p2: concat commutes with s2d."""
+    a = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 8, 8, 2).astype(np.float32))
+    for s in (2, 4):
+        want = to_s2d(jnp.concatenate([a, b], -1), s)
+        got = jnp.concatenate([to_s2d(a, s), to_s2d(b, s)], -1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _conv_ref(x, w, b, stride=1, offset=None):
+    k = w.shape[0]
+    off = k // 2 if offset is None else offset
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((off, k - 1 - off), (off, k - 1 - off)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+def test_conv_s2d_matches_direct(rng):
+    """Expanded structured conv == direct conv for every (k, s, stride)
+    combination the UNet/encoder/feature net uses."""
+    x = jnp.asarray(rng.rand(2, 16, 32, 6).astype(np.float32))
+    for k, s, stride in ((1, 2, 1), (1, 4, 1), (3, 2, 1), (3, 4, 1),
+                         (5, 2, 1), (5, 4, 1), (7, 2, 1), (7, 4, 1),
+                         (5, 2, 2), (5, 4, 2), (3, 4, 2), (2, 4, 4)):
+        w = jnp.asarray(rng.randn(k, k, 6, 8).astype(np.float32))
+        b = jnp.asarray(rng.randn(8).astype(np.float32))
+        want = _conv_ref(x, w, b, stride)
+        got = from_s2d(
+            conv_s2d(to_s2d(x, s), w, b, s, stride), s // stride)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5), (k, s, stride)
+
+
+def test_conv_s2d_unpadded_downsample(rng):
+    """offset=0 2x2/stride-2 == reference space-to-depth + 1x1 conv."""
+    x = jnp.asarray(rng.rand(1, 16, 16, 4).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(2, 2, 4, 6).astype(np.float32))
+    b = jnp.asarray(rng.randn(6).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, w2, (2, 2), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = from_s2d(conv_s2d(to_s2d(x, 4), w2, b, 4, stride=2, offset=0), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_upsample_nearest_s2d(rng):
+    x = jnp.asarray(rng.rand(1, 8, 12, 5).astype(np.float32))
+    want = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    for s_in in (1, 2):
+        xin = to_s2d(x, s_in)                   # phys res /s_in
+        got = from_s2d(upsample_nearest_s2d(xin, s_in), 2 * s_in)
+        # from_s2d(2*s_in) recovers orig res * 2 relative to phys
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_diffusion_unet_s2d_parity(rng):
+    """DiffusionUNet(s2d=True) == DiffusionUNet(s2d=False) with the SAME
+    parameter tree (the layout is a pure apply-time transform)."""
+    from diffmvs_tpu.nn.unet import DiffusionUNet
+
+    for mults in ((1, 2), (1, 2, 4)):
+        ds = 2 ** (len(mults) - 1)
+        h, w = 16, 32
+        unet = DiffusionUNet(dim=8, hidden_dim=12, dim_mults=mults)
+        unet_s = DiffusionUNet(dim=8, hidden_dim=12, dim_mults=mults,
+                               s2d=True)
+        x = jnp.asarray(rng.rand(2, h, w, 10).astype(np.float32))
+        hid = jnp.asarray(
+            rng.rand(2, h // ds, w // ds, 12).astype(np.float32))
+        t = jnp.asarray(np.array([3, 7], np.int32))
+        variables = unet.init(jax.random.PRNGKey(0), x, hid, t)
+        # identical param tree
+        vs = unet_s.init(jax.random.PRNGKey(0), x, hid, t)
+        tree_a = jax.tree_util.tree_map(lambda a: a.shape, variables)
+        tree_b = jax.tree_util.tree_map(lambda a: a.shape, vs)
+        assert tree_a == tree_b
+
+        want = unet.apply(variables, x, hid, t)
+        got = unet_s.apply(variables, x, hid, t)
+        for g, wv in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_condition_encoder_s2d_parity(rng):
+    from diffmvs_tpu.nn.unet import ConditionEncoder
+
+    h, w = 16, 32
+    enc = ConditionEncoder(hidden_dim=16, out_chs=16)
+    enc_s = ConditionEncoder(hidden_dim=16, out_chs=16, s2d=4)
+    depth = jnp.asarray(rng.rand(2, h, w, 1).astype(np.float32))
+    dv = jnp.asarray(rng.rand(2, h, w, 4).astype(np.float32))
+    cost = jnp.asarray(rng.rand(2, h, w, 16).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), depth, dv, cost)
+    vs = enc_s.init(jax.random.PRNGKey(0), depth, dv, cost)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
+            == jax.tree_util.tree_map(lambda a: a.shape, vs))
+    want = enc.apply(variables, depth, dv, cost)
+    got = enc_s.apply(variables, depth, dv, cost)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_feature_net_s2d_parity(rng):
+    """FeatureNet(s2d=True) == FeatureNet(s2d=False), same params, eval
+    AND train mode (BatchNormS2D batch stats must match NHWC BN)."""
+    from diffmvs_tpu.nn.feature import FeatureNet
+
+    net = FeatureNet(base_channels=8, out_channels=(48, 32, 16))
+    net_s = FeatureNet(base_channels=8, out_channels=(48, 32, 16),
+                       s2d=True)
+    x = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x, False)
+    vs = net_s.init(jax.random.PRNGKey(0), x, False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
+            == jax.tree_util.tree_map(lambda a: a.shape, vs))
+
+    want = net.apply(variables, x, False)
+    got = net_s.apply(variables, x, False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-3, atol=5e-5)
+
+    # train mode: outputs AND updated batch_stats match
+    want_t, wstats = net.apply(variables, x, True,
+                               mutable=["batch_stats"])
+    got_t, gstats = net_s.apply(variables, x, True,
+                                mutable=["batch_stats"])
+    for k in want_t:
+        np.testing.assert_allclose(np.asarray(got_t[k]),
+                                   np.asarray(want_t[k]),
+                                   rtol=2e-3, atol=5e-5)
+    flat_w = jax.tree_util.tree_leaves_with_path(wstats)
+    flat_g = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(gstats)}
+    for p, v in flat_w:
+        np.testing.assert_allclose(np.asarray(flat_g[jax.tree_util.keystr(p)]),
+                                   np.asarray(v), rtol=2e-3, atol=5e-5)
+
+
+def test_full_model_s2d_parity(rng):
+    """CasDiffMVS export forward with unet_s2d=True == False, same
+    variables (pure layout change end to end)."""
+    import dataclasses
+
+    from diffmvs_tpu.config import CASDIFFMVS
+    from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+    from helpers import make_batch
+
+    cfg = dataclasses.replace(CASDIFFMVS, numdepth_initial=8, numdepth=32)
+    cfg_s = dataclasses.replace(cfg, unet_s2d=True, feature_s2d=True,
+                               stage1_s2d=True)
+    batch = make_batch(np.random.RandomState(0), 1, 3, 64, 96, numdepth=32)
+
+    model = CasDiffMVS(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], rng=None, train=False, export=True)
+
+    def run(m):
+        return jax.jit(lambda v, b: m.apply(
+            v, b["imgs"], b["proj_matrices"], b["depth_values"],
+            rng=None, train=False, export=True))(variables, batch)
+
+    out = run(model)
+    out_s = run(CasDiffMVS(cfg_s))
+    np.testing.assert_allclose(np.asarray(out_s["depth"][-1]),
+                               np.asarray(out["depth"][-1]),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(out_s["photometric_confidence"],
+                    out["photometric_confidence"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pixel_view_weight_s2d_parity(rng):
+    """PixelViewWeight(s2d=4) == NHWC, same params, eval + train stats."""
+    from diffmvs_tpu.nn.costreg import PixelViewWeight
+
+    pvw = PixelViewWeight()
+    pvw_s = PixelViewWeight(s2d=4)
+    cor = jnp.asarray(rng.rand(2, 6, 16, 24, 8).astype(np.float32))
+    variables = pvw.init(jax.random.PRNGKey(0), cor, False)
+    vs = pvw_s.init(jax.random.PRNGKey(0), cor, False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
+            == jax.tree_util.tree_map(lambda a: a.shape, vs))
+
+    want = pvw.apply(variables, cor, False)
+    got = pvw_s.apply(variables, cor, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    want_t, wstats = pvw.apply(variables, cor, True,
+                               mutable=["batch_stats"])
+    got_t, gstats = pvw_s.apply(variables, cor, True,
+                                mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-4, atol=1e-5)
+    for (p, v), (p2, v2) in zip(
+            jax.tree_util.tree_leaves_with_path(wstats),
+            jax.tree_util.tree_leaves_with_path(gstats)):
+        assert jax.tree_util.keystr(p) == jax.tree_util.keystr(p2)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v),
+                                   rtol=1e-4, atol=1e-5)

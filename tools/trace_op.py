@@ -1,0 +1,109 @@
+"""Capture a jax.profiler trace of one component and print per-op
+self-times (the r2 recipe: the tunnel supports profiling; the trace json
+carries per-op HLO names/shapes).
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/trace_op.py unet_s2d
+  PYTHONPATH=... python tools/trace_op.py unet
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+import numpy as np  # noqa: E402
+
+
+def parse_trace(logdir, top=40):
+    paths = glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        print("no trace found under", logdir)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device-side complete events: pid of TPU core lanes; aggregate by name
+    tot = defaultdict(float)
+    cnt = defaultdict(int)
+    pids_tpu = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if "TPU" in name or "Device" in name or "/device" in name:
+                pids_tpu.add(e["pid"])
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in pids_tpu:
+            continue
+        name = e.get("name", "")
+        if name.startswith("Thread") or name in ("", "unknown"):
+            continue
+        tot[name] += e.get("dur", 0) / 1000.0
+        cnt[name] += 1
+    total = sum(tot.values())
+    print(f"# device total {total:.2f} ms over {sum(cnt.values())} events "
+          f"({path})")
+    for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms:9.3f} ms  x{cnt[name]:<4d} {name[:110]}")
+
+
+def main(which):
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from diffmvs_tpu.config import CASDIFFMVS
+    from diffmvs_tpu.nn.unet import DiffusionUNet
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    dt = jnp.bfloat16
+    B, H, W = 4, 576, 800
+    cfg = CASDIFFMVS
+    s3 = 2
+    hd, cd = cfg.hidden_dim[s3], cfg.context_dim[s3]
+    mults = cfg.unet_dim_mults[s3]
+    ds = 2 ** (len(mults) - 1)
+
+    s2d = which.endswith("_s2d")
+    unet = DiffusionUNet(dim=cfg.unet_dim[s3], hidden_dim=hd,
+                         dim_mults=mults, s2d=s2d, dtype=dt)
+    x = jnp.asarray(rng.rand(B, H, W, 2 * cd).astype(np.float32))
+    hid = jnp.asarray(
+        rng.rand(B, H // ds, W // ds, hd).astype(np.float32))
+    t = jnp.zeros((B,), jnp.int32)
+    uvars = DiffusionUNet(
+        dim=cfg.unet_dim[s3], hidden_dim=hd, dim_mults=mults,
+        dtype=dt).init(key, x[:1], hid[:1], t[:1])
+
+    @jax.jit
+    def run(x, hid, t):
+        def body(acc, i):
+            out = unet.apply(uvars, x + (acc * 1e-12).astype(x.dtype),
+                             hid, t)
+            return acc + out[1].astype(jnp.float32).mean(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(10))
+        return acc
+
+    float(run(x, hid, t))                          # compile+warm
+    logdir = f"/tmp/trace_{which}"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        float(run(x, hid, t))
+    parse_trace(logdir)
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "parse":
+        parse_trace(sys.argv[2])
+    else:
+        main(sys.argv[1])
