@@ -105,12 +105,13 @@ def bench_train():
     else:
         b, h, w, nd, nd_init, reps = 4, 512, 640, 384, 48, 4
 
-    # training keeps the XLA warp (the Pallas kernel's VJP story) but
-    # the s2d conv layouts differentiate fine and help on TPU
-    model_cfg = dataclasses.replace(
+    # the full TPU fast path now covers training too: the Pallas kernel
+    # carries a custom_vjp (backward recomputes through the exact XLA
+    # path), and the s2d layouts differentiate natively
+    from diffmvs_tpu.config import tpu_optimized
+    model_cfg = tpu_optimized(dataclasses.replace(
         CASDIFFMVS, numdepth_initial=nd_init, numdepth=nd,
-        compute_dtype="bfloat16", remat=True,
-        unet_s2d=platform == "tpu", feature_s2d=platform == "tpu")
+        compute_dtype="bfloat16", remat=True))
     cfg = TrainConfig(model=model_cfg, batch_size=b)
     model = CasDiffMVS(model_cfg)
 

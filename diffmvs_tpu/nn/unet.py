@@ -126,9 +126,10 @@ class Conv7x7RowSum(nn.Module):
         if self.s > 1:
             # s2d: one structured small conv (3x3 at s=4, 5x5 at s=2)
             # replaces both the direct 7x7 AND the row decomposition —
-            # measured ~0 ms vs 9.9 ms (tools/bench_layout.py)
-            return conv_s2d(x, kernel, bias, self.s, dtype=dtype,
-                            preferred_f32=True).astype(dtype)
+            # measured ~0 ms vs 9.9 ms (tools/bench_layout.py). A single
+            # conv carries one output rounding (MXU accumulates f32
+            # internally), so the row-sum path's f32 partials are moot.
+            return conv_s2d(x, kernel, bias, self.s, dtype=dtype)
         h = x.shape[1]
         xp = jnp.pad(x, ((0, 0), (3, 3), (0, 0), (0, 0))).astype(dtype)
         y = None

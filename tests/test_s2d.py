@@ -234,3 +234,45 @@ def test_pixel_view_weight_s2d_parity(rng):
         assert jax.tree_util.keystr(p) == jax.tree_util.keystr(p2)
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_bf16_backward(rng):
+    """Gradients flow through the full s2d stack in bfloat16 compute
+    (regression: the s2d init conv's preferred_element_type broke the
+    conv VJP's dtype matching on the first TPU train bench)."""
+    import dataclasses
+
+    from diffmvs_tpu.config import CASDIFFMVS, TrainConfig
+    from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+    from diffmvs_tpu.models.loss import compute_inverse_loss
+    from diffmvs_tpu.train.state import create_train_state
+    from helpers import make_batch
+
+    cfg = TrainConfig(model=dataclasses.replace(
+        CASDIFFMVS, numdepth_initial=8, numdepth=16,
+        stage_iters=(1, 1, 1), cost_num=(0, 2, 2),
+        compute_dtype="bfloat16", unet_s2d=True, feature_s2d=True,
+        stage1_s2d=True), batch_size=1)
+    model = CasDiffMVS(cfg.model)
+    batch = make_batch(np.random.RandomState(0), 1, 3, 32, 64,
+                       numdepth=16, with_gt=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=10)
+
+    def loss_fn(params):
+        outputs, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+            depth_gt=batch["depth"], rng=jax.random.PRNGKey(7),
+            train=True, mutable=["batch_stats"])
+        loss, _ = compute_inverse_loss(
+            outputs["depth"], outputs["conf"], batch["depth"],
+            batch["mask"], batch["depth_values"],
+            cfg.model.stage_iters, cfg.loss_rate, cfg.conf_weight)
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(state.params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.square(g.astype(jnp.float32))))
+                for g in jax.tree_util.tree_leaves(grads)) ** 0.5
+    assert np.isfinite(gnorm) and gnorm > 0

@@ -53,10 +53,10 @@ def main(selected):
         B, H, W, ND, ND_INIT, REPS = 1, 128, 160, 64, 16, 2
     V = 5
 
-    cfg = dataclasses.replace(
+    from diffmvs_tpu.config import tpu_optimized
+    cfg = tpu_optimized(dataclasses.replace(
         CASDIFFMVS, numdepth_initial=ND_INIT, numdepth=ND,
-        compute_dtype="bfloat16",
-        warp_kernel="pallas_full" if tpu else "xla")
+        compute_dtype="bfloat16"))
     dt = cfg.dtype
 
     imgs, projs, depth_values = synthetic_inputs(B, V, H, W, ND)
@@ -111,7 +111,8 @@ def main(selected):
 
     # ---------------- feature / context nets --------------------------
     fnet = FeatureNet(base_channels=cfg.base_channels,
-                      out_channels=cfg.feat_dim_stage, dtype=dt)
+                      out_channels=cfg.feat_dim_stage, s2d=cfg.feature_s2d,
+                      dtype=dt)
     flat_imgs = imgs.reshape(B * V, H, W, 3)
     fvars = fnet.init(key, flat_imgs[:1], False)
     measure("feature_net(BV imgs)",
@@ -136,7 +137,8 @@ def main(selected):
 
     # ---------------- stage 1: initialization -------------------------
     istage = InitialStage(group_dim=cfg.cost_dim_stage[0], up_ratio=2,
-                          warp_kernel=cfg.warp_kernel, dtype=dt)
+                          warp_kernel=cfg.warp_kernel,
+                          stage1_s2d=cfg.stage1_s2d, dtype=dt)
     feat1 = [feats["stage1"][:, i] for i in range(V)]
     ctx1 = np.maximum(ctxs["stage1"], 0)
     scale_inv = lambda nd: (nd, 1.0 / (0.1 + 0.15 * nd))
@@ -209,7 +211,7 @@ def main(selected):
                 eta=cfg.ddim_eta[stage_idx],
                 scale=cfg.scale[stage_idx]),
             min_radius=cfg.min_radius, max_radius=cfg.max_radius,
-            warp_kernel=cfg.warp_kernel, dtype=dt)
+            warp_kernel=cfg.warp_kernel, unet_s2d=cfg.unet_s2d, dtype=dt)
         rvars = rstage.init(key, inv[:1], hidden[:1], ctx[:1],
                             [f[:1] for f in feat], proj[:1], dmin[:1],
                             dmax[:1], vw[:, :1], rng=None, train=False)
