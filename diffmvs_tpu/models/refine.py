@@ -55,14 +55,23 @@ class RefineIteration(nn.Module):
     unet_s2d: bool = False
     dtype: Optional[Any] = None
 
+    @property
+    def s0(self):
+        """s2d factor of the full-res UNet level (1 = s2d off)."""
+        return 2 ** (len(self.dim_mults) - 1) if self.unet_s2d else 1
+
     def setup(self):
-        s0 = 2 ** (len(self.dim_mults) - 1) if self.unet_s2d else 1
+        s0 = self.s0
+        # the encoder -> concat -> UNet seam stays in s2d layout (the
+        # c-major channel order makes concatenation commute with s2d);
+        # context arrives pre-s2d'd from RefinementStage (once, outside
+        # the iteration scan)
         self.encoder = ConditionEncoder(
             hidden_dim=self.context_dim, out_chs=self.context_dim,
-            s2d=s0, dtype=self.dtype, name="encoder")
+            s2d=s0, s2d_out=s0 > 1, dtype=self.dtype, name="encoder")
         self.unet = DiffusionUNet(
             dim=self.unet_dim, hidden_dim=self.hidden_dim,
-            dim_mults=self.dim_mults, s2d=self.unet_s2d,
+            dim_mults=self.dim_mults, s2d=self.unet_s2d, s2d_in=s0 > 1,
             dtype=self.dtype, name="unet")
 
     def __call__(self, carry, context, t, inv_depth, features, proj_pairs,
@@ -117,6 +126,11 @@ class RefinementStage(nn.Module):
     unet_s2d: bool = False
     dtype: Optional[Any] = None
 
+    @property
+    def s0(self):
+        """s2d factor of the full-res UNet level (1 = s2d off)."""
+        return 2 ** (len(self.dim_mults) - 1) if self.unet_s2d else 1
+
     def setup(self):
         cell_cls = RefineIteration
         if self.remat:
@@ -149,6 +163,12 @@ class RefinementStage(nn.Module):
                    view_weights):
         """Run `iters` denoising iterations; returns the final carry plus
         stacked per-iteration (inv_depth, confidence)."""
+        if self.s0 > 1:
+            # pre-s2d the loop-invariant context ONCE outside the scan
+            # body (it is an nn.broadcast input, so this transpose is
+            # hoisted out of the compiled while loop)
+            from diffmvs_tpu.nn.s2d import to_s2d
+            context = to_s2d(context, self.s0)
         carry = (hidden, inv_depth_new, delta,
                  jnp.zeros_like(inv_depth), jnp.zeros((), bool))
         carry, (inv_seq, conf_seq) = self.cell(

@@ -330,11 +330,21 @@ class GroupNormS2D(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,),
                           jnp.float32)
         g = self.num_groups
-        xf = x.astype(jnp.float32).reshape(b, h, w, g, cs // g)
-        mean = xf.mean(axis=(1, 2, 4), keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
-        y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(
-            b, h, w, cs)
-        y = (y * repeat_channels(scale, self.s)
-             + repeat_channels(bias, self.s))
+        # lane-preserving statistics: reduce over (H, W) per s2d channel
+        # first ([B, cs], full lanes), then group-sum the tiny
+        # per-channel moments — never reshape the 128-wide lane axis
+        # into (g, cs/g) (that relayout measured ~20 ms/forward)
+        xf = x.astype(jnp.float32)
+        m1 = xf.mean(axis=(1, 2))                      # [B, cs]
+        m2 = (xf * xf).mean(axis=(1, 2))               # [B, cs]
+        gm1 = m1.reshape(b, g, cs // g).mean(axis=2)   # [B, g] (tiny)
+        gm2 = m2.reshape(b, g, cs // g).mean(axis=2)
+        var = gm2 - gm1 * gm1
+        mul = jax.lax.rsqrt(var + self.epsilon)        # [B, g]
+        mean_ch = jnp.repeat(gm1, cs // g, axis=1)     # [B, cs] (tiny op)
+        mul_ch = jnp.repeat(mul, cs // g, axis=1)
+        sc = repeat_channels(scale, self.s)
+        bi = repeat_channels(bias, self.s)
+        a = (mul_ch[:, None, None, :] * sc)
+        y = xf * a + (bi - mean_ch[:, None, None, :] * a)
         return y.astype(self.dtype or x.dtype)

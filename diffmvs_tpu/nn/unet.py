@@ -303,11 +303,13 @@ class DiffusionUNet(nn.Module):
     dim_mults: Tuple[int, ...] = (1, 2)
     resnet_block_groups: int = 4
     s2d: bool = False
+    s2d_in: bool = False          # x arrives already in s2d(s0) layout
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, hidden, time):
-        """x: [B,H,W,Cin]; hidden: [B,H/2^(L-1),W/2^(L-1),hidden_dim];
+        """x: [B,H,W,Cin] (or its s2d(s0) repr when s2d_in);
+        hidden: [B,H/2^(L-1),W/2^(L-1),hidden_dim];
         time: [B] int/float timestep. Returns (new_hidden, delta, confidence).
         """
         dt = self.dtype
@@ -327,7 +329,8 @@ class DiffusionUNet(nn.Module):
         t = nn.gelu(t, approximate=False)
         t = Dense(time_dim, dtype=dt, name="time_mlp_2")(t)
 
-        x = to_s2d(x, s0)
+        if not (self.s2d_in and s0 > 1):
+            x = to_s2d(x, s0)
         x = Conv7x7RowSum(self.dim, s=s0, dtype=dt, name="init_conv")(x)
         r = x
 
@@ -421,6 +424,7 @@ class ConditionEncoder(nn.Module):
     hidden_dim: int               # context_dim[s]
     out_chs: int                  # context_dim[s]
     s2d: int = 1
+    s2d_out: bool = False         # emit the s2d(s2d) repr (skip from_s2d)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -448,5 +452,9 @@ class ConditionEncoder(nn.Module):
         d = nn.relu(c3("convd1", self.hidden_dim, depth_values))
         d = nn.relu(c3("convd2", self.hidden_dim, d))
         feat = jnp.concatenate([c, d], axis=-1)
-        out = from_s2d(nn.relu(c3("output", self.out_chs - 1, feat)), s)
-        return jnp.concatenate([out, depth], axis=-1)
+        out = nn.relu(c3("output", self.out_chs - 1, feat))
+        if self.s2d_out and s > 1:
+            # stay in s2d: c-major concat commutes with the layout, so
+            # appending to_s2d(depth) == to_s2d of the pixel concat
+            return jnp.concatenate([out, to_s2d(depth, s)], axis=-1)
+        return jnp.concatenate([from_s2d(out, s), depth], axis=-1)

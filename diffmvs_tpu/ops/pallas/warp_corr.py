@@ -480,7 +480,8 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      win_k: int = WIN_K, rows: int = ROWS,
                      band: int = BAND_ROWS, packed=None, skip: str = "",
                      batch_rows: bool = True, win_w: int = 0,
-                     tile: int = 0, interpret: bool = False):
+                     tile: int = 0, chunk_cap: int = 4096,
+                     interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
     src_fea/ref_fea: [N, Hs, Ws, C] / [N, H, W, C]; src_pair/ref_pair:
@@ -508,7 +509,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     kwargs = dict(window_group=window_group, win_k=win_k, rows=rows,
                   band=band, packed=packed, skip=skip,
                   batch_rows=batch_rows, win_w=win_w, tile=tile,
-                  interpret=interpret)
+                  chunk_cap=chunk_cap, interpret=interpret)
 
     @jax.custom_vjp
     def run(src, ref, sp, rp, dv):
@@ -538,7 +539,8 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                     win_k: int = WIN_K, rows: int = ROWS,
                     band: int = BAND_ROWS, packed=None, skip: str = "",
                     batch_rows: bool = True, win_w: int = 0,
-                    tile: int = 0, interpret: bool = False):
+                    tile: int = 0, chunk_cap: int = 4096,
+                    interpret: bool = False):
     n, hs, ws, c = src_fea.shape
     _, d, h, w = depth_values.shape
     assert c % groups == 0
@@ -640,10 +642,12 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     assert use_rowbatch or win_w == WIN_W, \
         "narrow windows are a rowbatch-kernel feature"
     if use_rowbatch:
-        # fold as many depth planes per op chain as fit ~4096 gather rows
-        # (VMEM + vector-op size sweet spot); chunks must divide the
-        # window group so a chunk never crosses a window boundary
-        dk_cap = max(1, 4096 // (rows * band * c))
+        # fold as many depth planes per op chain as fit `chunk_cap`
+        # gather rows (VMEM + vector-op size sweet spot); chunks must
+        # divide the window group so a chunk never crosses a window
+        # boundary. 4096 was tuned at C=16 (stage-3); C=48 sweeps get
+        # dchunk=1 there — tools/bench_kernel.py sweeps this
+        dk_cap = max(1, chunk_cap // (rows * band * c))
         dchunk = max(x for x in range(1, wg + 1)
                      if wg % x == 0 and x <= dk_cap)
         kernel = functools.partial(_corr_kernel_rowbatch, wg=wg,

@@ -53,6 +53,91 @@ def parse_trace(logdir, top=40):
         print(f"{ms:9.3f} ms  x{cnt[name]:<4d} {name[:110]}")
 
 
+def parse_trace_grouped(logdir, top=40):
+    """Aggregate device self-time by (repo source line, hlo category)."""
+    paths = glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*.trace.json.gz"))
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids_tpu = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if "TPU" in name or "Device" in name or "/device" in name:
+                pids_tpu.add(e["pid"])
+    tot = defaultdict(float)
+    cnt = defaultdict(int)
+    grand = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in pids_tpu:
+            continue
+        args = e.get("args", {})
+        cat = args.get("hlo_category", "")
+        if not cat:        # skip enclosing jit/while wrappers
+            continue
+        src = args.get("source", "?")
+        if "/diffmvs_tpu/" in src:
+            src = src.split("/diffmvs_tpu/")[-1]
+        key = (src, cat)
+        ms = e.get("dur", 0) / 1000.0
+        tot[key] += ms
+        cnt[key] += 1
+        grand += ms
+    print(f"# grouped device self-time {grand:.1f} ms total ({path})")
+    for (src, cat), ms in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms:9.2f} ms  x{cnt[(src, cat)]:<5d} {cat:22s} {src}")
+
+
+def trace_full():
+    """Trace the full CasDiffMVS forward at the bench configuration."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from diffmvs_tpu.config import CASDIFFMVS, tpu_optimized
+    from diffmvs_tpu.models.casdiffmvs import CasDiffMVS
+    from diffmvs_tpu.utils.synthetic import synthetic_inputs
+
+    cfg = tpu_optimized(dataclasses.replace(
+        CASDIFFMVS, numdepth_initial=48, numdepth=384,
+        compute_dtype="bfloat16"))
+    model = CasDiffMVS(cfg)
+    imgs, projs, depth_values = synthetic_inputs(4, 5, 1152, 1600,
+                                                 cfg.numdepth)
+    variables = model.init(jax.random.PRNGKey(0), imgs[:1],
+                           {k: v[:1] for k, v in projs.items()},
+                           depth_values[:1], rng=None, train=False,
+                           export=True)
+
+    @jax.jit
+    def run(key, imgs, projs, depth_values):
+        def body(acc, i):
+            out = model.apply(variables, imgs, projs, depth_values,
+                              rng=jax.random.fold_in(key, i),
+                              train=False, export=True)
+            return acc + out["depth"][-1].mean(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(3))
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(imgs)
+    projs = {k: jnp.asarray(v) for k, v in projs.items()}
+    depth_values = jnp.asarray(depth_values)
+    float(run(key, imgs, projs, depth_values))
+    logdir = "/tmp/trace_full"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        float(run(key, imgs, projs, depth_values))
+    parse_trace_grouped(logdir)
+
+
 def main(which):
     import jax
     import jax.numpy as jnp
@@ -105,5 +190,9 @@ def main(which):
 if __name__ == "__main__":
     if sys.argv[1] == "parse":
         parse_trace(sys.argv[2])
+    elif sys.argv[1] == "parse_grouped":
+        parse_trace_grouped(sys.argv[2])
+    elif sys.argv[1] == "full":
+        trace_full()
     else:
         main(sys.argv[1])
