@@ -216,7 +216,7 @@ def _corr_kernel_rowbatch(
         out_ref,       # [1, D, ROWS, G, TILE]
         win_ref, sem,
         *, wg: int, win_k: int, groups: int, band: int, hs: int, ws: int,
-        dchunk: int = 1, win_w: int = WIN_W):
+        dchunk: int = 1, win_w: int = WIN_W, packed: bool = False):
     """v2.2/v2.3: one fused tensor op chain per CHUNK of dchunk depth
     planes x all output rows, instead of per (depth, row). The v2 kernel
     issues ~15 small vector ops per (d, r) block; measurements
@@ -247,7 +247,8 @@ def _corr_kernel_rowbatch(
     _, d_total, rows, g_total, _ = out_ref.shape
     c = ref_ref.shape[2]
     cg = c // g_total
-    kc = win_k * c
+    cp = c // 2 if packed else c       # source rows per image y
+    kc = win_k * cp
     nw = -(-d_total // wg)
     total_windows = pl.num_programs(0) * num_hb * num_t * nw
 
@@ -269,14 +270,14 @@ def _corr_kernel_rowbatch(
         slot = jax.lax.rem(widx, 2)
         dst = win_ref.at[pl.ds(pl.multiple_of(slot * kc, 8), kc), :]
         return pltpu.make_async_copy(
-            src_hbm.at[nn2, pl.ds(by * c, kc), pl.ds(bx, win_w)],
+            src_hbm.at[nn2, pl.ds(by * cp, kc), pl.ds(bx, win_w)],
             dst, sem.at[slot])
 
     @pl.when(step == 0)
     def _():
         copy_for(0).start()
 
-    bc = band * c
+    bc = band * cp
     dk = max(1, min(dchunk, wg))
     tile = out_ref.shape[-1]
 
@@ -318,10 +319,10 @@ def _corr_kernel_rowbatch(
         # at D=48, rows=16)
         rsv = [rstart_ref[t, nhb, d * rows + r] for d, r in dr]
 
-        # per-(d,r) band slices, concatenated into one [NBLK*BAND*C, .]
+        # per-(d,r) band slices, concatenated into one [NBLK*BAND*CP, .]
         bands = jnp.concatenate([
             win_ref[pl.ds(pl.multiple_of(
-                slot_base + rs * c, 8), bc), :]
+                slot_base + rs * cp, 8), bc), :]
             for rs in rsv])                            # [NBLK*BC, win_w]
 
         rs_col = jnp.concatenate(
@@ -343,7 +344,7 @@ def _corr_kernel_rowbatch(
             if win_w == GATHER_W:
                 return jnp.take_along_axis(
                     bands, jnp.clip(idx, 0, GATHER_W - 1), axis=1
-                ).reshape(nblk, band, c, GATHER_W)
+                ).reshape(nblk, band, cp, GATHER_W)
             g_lo = jnp.take_along_axis(
                 bands[:, :GATHER_W],
                 jnp.clip(idx, 0, GATHER_W - 1), axis=1)
@@ -351,7 +352,54 @@ def _corr_kernel_rowbatch(
                 bands[:, GATHER_W:],
                 jnp.clip(idx - GATHER_W, 0, GATHER_W - 1), axis=1)
             return jnp.where(idx < GATHER_W, g_lo, g_hi).reshape(
-                nblk, band, c, GATHER_W)
+                nblk, band, cp, GATHER_W)
+
+        def unpack(gv):
+            """bf16 channel pairs bitcast in f32 words -> (even, odd)
+            f32 planes: elem0 = low 16 bits shifted up, elem1 = high 16
+            bits masked (a bf16's f32 representation is its bits in the
+            high half) — same-width bitcasts, cheap VPU int ops."""
+            iv = jax.lax.bitcast_convert_type(gv, jnp.int32)
+            lo = jax.lax.bitcast_convert_type(
+                jax.lax.shift_left(iv, jnp.int32(16)), jnp.float32)
+            hi = jax.lax.bitcast_convert_type(
+                jax.lax.bitwise_and(iv, jnp.int32(-65536)), jnp.float32)
+            return lo, hi
+
+        if tile == GATHER_W and packed:
+            # packed full-width tiles: half the gather rows, band-slice
+            # rows and window DMA bytes; pairs unpack AFTER the gather
+            # (the y/x interp then runs per channel as usual). Channels
+            # are ordered evens||odds (matching ref_ref's prep); group
+            # sums recombine as evens-of-group + odds-of-group.
+            rid = jax.lax.broadcasted_iota(
+                jnp.int32, (nblk, band, 1, tile), 1)
+            wk = (jnp.where(rid == lyrc[:, None, None, :],
+                            1.0 - fy[:, None, None, :], 0.0)
+                  + jnp.where(rid == lyrc[:, None, None, :] + 1,
+                              fy[:, None, None, :], 0.0))
+            wkv = wk.astype(jnp.float32)
+            e0, o0 = unpack(gat(lxc))
+            e1, o1 = unpack(gat(lxc + 1))
+            fxv = fx[:, None, :]
+            vmul = valid[:, None, :]
+            s0 = jnp.sum(e0 * wkv, axis=1)             # [NBLK, CP, tile]
+            s1 = jnp.sum(e1 * wkv, axis=1)
+            outv_e = (s0 + (s1 - s0) * fxv) * vmul
+            s0 = jnp.sum(o0 * wkv, axis=1)
+            s1 = jnp.sum(o1 * wkv, axis=1)
+            outv_o = (s0 + (s1 - s0) * fxv) * vmul
+            refv = ref_ref[0]                          # evens||odds
+            if dks > 1:
+                refv = jnp.concatenate([refv] * dks)
+            pe = (outv_e * refv[:, :cp]).reshape(
+                nblk, g_total, cg // 2, tile)
+            po = (outv_o * refv[:, cp:]).reshape(
+                nblk, g_total, cg // 2, tile)
+            corr = (jnp.sum(pe, axis=2) + jnp.sum(po, axis=2)) / cg
+            out_ref[0, d0:d0 + dks] = corr.reshape(dks, rows, g_total,
+                                                   tile)
+            continue
 
         if tile == GATHER_W:
             # full-width tiles: one gather per x-corner (same gathers
@@ -546,12 +594,22 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     assert c % groups == 0
     assert c % 8 == 0, "band sub-slice offsets need C % 8 == 0"
     if packed is None:
-        packed = False
+        # auto: bf16 sources ride the packed channel-pair rowbatch path
+        # (half the gather rows, band-slice rows and window DMA bytes;
+        # stage-3 refine measured 0.07 vs 0.53 ms/call) whenever its
+        # shape preconditions hold
+        packed = (src_fea.dtype == jnp.bfloat16 and c % 16 == 0
+                  and (c // groups) % 2 == 0
+                  and batch_rows and not skip and tile in (0, GATHER_W))
     assert not packed or (src_fea.dtype == jnp.bfloat16 and c % 16 == 0)
     cp = c // 2 if packed else c
     wg = d if window_group in (0, None) else min(window_group, d)
     win_k = min(win_k, hs + 2)
-    use_rowbatch = batch_rows and not packed and not skip
+    use_rowbatch = batch_rows and not skip
+    if packed and use_rowbatch:
+        # packed rowbatch recombines group sums as evens+odds of each
+        # group — needs an even number of channels per group
+        assert (c // groups) % 2 == 0,             "packed rowbatch needs even channels-per-group"
     if tile == 0:
         # full-width 128-px tiles on the rowbatch kernel: same gathers
         # per pixel (one per corner instead of one packed), but every
@@ -647,13 +705,13 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
         # divide the window group so a chunk never crosses a window
         # boundary. 4096 was tuned at C=16 (stage-3); C=48 sweeps get
         # dchunk=1 there — tools/bench_kernel.py sweeps this
-        dk_cap = max(1, chunk_cap // (rows * band * c))
+        dk_cap = max(1, chunk_cap // (rows * band * cp))
         dchunk = max(x for x in range(1, wg + 1)
                      if wg % x == 0 and x <= dk_cap)
         kernel = functools.partial(_corr_kernel_rowbatch, wg=wg,
                                    win_k=win_k, groups=groups, band=band,
-                                   hs=hs, ws=ws,
-                                   dchunk=dchunk, win_w=win_w)
+                                   hs=hs, ws=ws, dchunk=dchunk,
+                                   win_w=win_w, packed=packed)
         # [D, rows, T, N*HB] -> [T, N*HB, D*rows] (large dim minor; see
         # kernel docstring re SMEM padding)
         rstarts = rstarts.transpose(2, 3, 0, 1).reshape(

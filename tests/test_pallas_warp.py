@@ -153,3 +153,33 @@ def test_strong_rotation_guard_triggers(rng):
                                                 interpret=True)
     )(src, ref, sp, rp, depths))
     assert np.abs(got - want).max() > 1e-3
+
+
+def test_warp_corr_rowbatch_packed_matches_f32(rng):
+    """Packed (bf16 channel-pair) ROWBATCH kernel == the f32 rowbatch
+    kernel on the same bf16-rounded sources, refinement + grouped-sweep
+    shapes (the group sums recombine as evens+odds of each group)."""
+    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
+
+    for stage, wg, d in (("stage3", 0, 4), ("stage1", 4, 11)):
+        fullmul = 8 if stage == "stage1" else 2
+        src, ref, sp, rp, depths = _corr_setup(rng, stage=stage,
+                                               fullmul=fullmul, d=d)
+        if stage == "stage1":
+            sweep = 1.0 / np.linspace(1 / 10.0, 1 / 4.0, d,
+                                      dtype=np.float32)
+            depths = jnp.asarray(np.broadcast_to(
+                sweep.reshape(1, d, 1, 1),
+                (1, d) + src.shape[1:3]).copy())
+        src16 = src.astype(jnp.bfloat16)
+        want = np.asarray(jax.jit(
+            lambda s, r, a, b, dd, _wg=wg: warp_corr_pallas(
+                s, r, a, b, dd, 4, window_group=_wg, interpret=True)
+        )(src16.astype(jnp.float32), ref, sp, rp, depths))
+        got = np.asarray(jax.jit(
+            lambda s, r, a, b, dd, _wg=wg: warp_corr_pallas(
+                s, r, a, b, dd, 4, window_group=_wg, packed=True,
+                interpret=True)
+        )(src16, ref, sp, rp, depths))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -102,9 +102,9 @@ def main():
                     ("t128 rows=32", {"rows": 32}),
                     ("t64 rows=16", {"tile": 64}),
                     ("cap=8192 (dchunk 2x)", {"chunk_cap": 8192}),
-                    ("band=2", {"band": 2}),
-                    ("band=2 rows=8", {"band": 2, "rows": 8}),
-                    ("band=3", {"band": 3})):
+                    ("packed rowbatch bf16", {"packed": True}),
+                    ("packed + cap=8192", {"packed": True,
+                                           "chunk_cap": 8192})):
                 # mirror the exact geometry of the warp_corr_pallas call
                 # below (rows/band/tile change window bases and band
                 # offsets, so a defaults-computed miss would mislabel
