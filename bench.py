@@ -266,6 +266,15 @@ def main(batch: int = 0):
                            depth_values[:1], rng=None, train=False,
                            export=True)
 
+    # hoist the inference weight prep (s2d kernel expansions, WS
+    # standardization, BN affines) out of the forward: recorded once
+    # here, passed to every apply as plain arrays (nn/s2d.py)
+    from diffmvs_tpu.nn.s2d import prepare_wexp
+    variables = prepare_wexp(
+        model.apply, variables, imgs[:1],
+        {k: v[:1] for k, v in projs.items()}, depth_values[:1],
+        rng=None, train=False, export=True)
+
     @jax.jit
     def chained(key, n_arr, imgs, projs, depth_values):
         # inputs are arguments (NOT closure constants — the remote-compile

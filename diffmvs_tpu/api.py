@@ -73,6 +73,7 @@ class DepthRunner:
                        else make_infer_fn(self.model))
         self._infer_xla = None          # lazy fallback (guard trips)
         self._seed = seed
+        self._prepared = False          # wexp weight prep (first call)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -132,6 +133,15 @@ class DepthRunner:
         """Returns (depth [B, H, W], [conf0.. full-res confidences])."""
         if rng is None:
             rng = jax.random.PRNGKey(self._seed)
+        if not self._prepared:
+            # hoist the inference weight prep (s2d expansion, WS
+            # standardization, BN affines) out of every forward: one
+            # DCE'd pass records the "wexp" collection (nn/s2d.py)
+            from diffmvs_tpu.nn.s2d import prepare_wexp
+            self.variables = prepare_wexp(
+                self.model.apply, self.variables, imgs, proj_matrices,
+                depth_values, rng=rng, train=False, export=True)
+            self._prepared = True
         if not self._guarded:
             depth, confs = self._infer(self.variables, imgs, proj_matrices,
                                        depth_values, rng)

@@ -156,6 +156,13 @@ def save_scene_depth(args, cfg, testlist):
                         {k: v[:1] for k, v in projs.items()},
                         depth_values[:1], rng=None, train=False,
                         export=True)
+                # hoist the inference weight prep out of every forward
+                # (one DCE'd recording pass, nn/s2d.py)
+                from diffmvs_tpu.nn.s2d import prepare_wexp
+                variables = prepare_wexp(
+                    model.apply, variables, imgs[:1],
+                    {k: v[:1] for k, v in projs.items()},
+                    depth_values[:1], rng=None, train=False, export=True)
 
             rng = jax.random.PRNGKey(args.seed + batch_idx)
             t0 = time.time()

@@ -93,6 +93,15 @@ class ModelConfig:
     # ...and for the stage-1 PixelViewWeight 3D convs (G=8 lanes).
     stage1_s2d: bool = False
 
+    # Unroll the refinement iterations inside the nn.scan body
+    # (lax.scan unroll=iters): XLA then CSEs the loop-invariant weight
+    # prep (s2d kernel expansion, weight standardization, GroupNorm
+    # scale repeats) across iterations and can fuse across iteration
+    # boundaries. Identical numerics; ~iters x larger refine-stage HLO
+    # (the round-1 compile-time motivation for the scan), so the
+    # dataclass default stays False and tpu_optimized turns it on.
+    unroll_iters: bool = False
+
     @property
     def is_cascade(self) -> bool:
         """CasDiffMVS iff stage 2 runs refinement iterations."""
@@ -232,7 +241,7 @@ def tpu_optimized(cfg: ModelConfig, backend: str = None) -> ModelConfig:
         return cfg
     return dataclasses.replace(cfg, warp_kernel="pallas_full",
                                unet_s2d=True, feature_s2d=True,
-                               stage1_s2d=True)
+                               stage1_s2d=True, unroll_iters=True)
 
 
 MODEL_PRESETS = {

@@ -124,6 +124,7 @@ class RefinementStage(nn.Module):
     remat: bool = False
     warp_kernel: str = "xla"
     unet_s2d: bool = False
+    unroll: bool = False
     dtype: Optional[Any] = None
 
     @property
@@ -140,11 +141,16 @@ class RefinementStage(nn.Module):
                                 prevent_cse=False)
         scan = nn.scan(
             cell_cls,
-            variable_broadcast="params",
+            variable_broadcast=["params", "wexp"],
             split_rngs={"params": False},
             in_axes=nn.broadcast,
             out_axes=0,
             length=self.iters,
+            # unroll: all iterations execute in one while-loop trip, so
+            # XLA CSEs the loop-invariant weight prep (s2d expansion, WS
+            # standardization) instead of re-running it per iteration —
+            # measured ~3-4 ms per stage-3 UNet call (tools/trace_op.py)
+            unroll=self.iters if self.unroll else 1,
         )
         self.cell = scan(
             unet_dim=self.unet_dim, dim_mults=self.dim_mults,

@@ -39,14 +39,44 @@ from flax import linen as nn
 Dtype = Any
 
 
+@functools.lru_cache(maxsize=None)
+def _s2d_onehot(s: int, c: int):
+    """One-hot [s, s, C, C*s*s] kernel whose stride-s VALID conv IS
+    to_s2d (kernel[p1, p2, c, (c*s+p1)*s+p2] = 1)."""
+    k = np.zeros((s, s, c, c * s * s), np.float32)
+    for p1 in range(s):
+        for p2 in range(s):
+            for ci in range(c):
+                k[p1, p2, ci, (ci * s + p1) * s + p2] = 1.0
+    return k
+
+
 def to_s2d(x, s: int):
-    """[B,H,W,C] -> [B,H/s,W/s,C*s*s], channel index (c*s+p1)*s+p2."""
+    """[B,H,W,C] -> [B,H/s,W/s,C*s*s], channel index (c*s+p1)*s+p2.
+
+    On TPU the relayout runs as a one-hot stride-s conv: the 6D
+    sub-lane transpose costs ~175x the memory roofline (6.3 ms for a
+    [4,576,800,16] bf16 tensor, tools/trace_op.py stage3) while the MXU
+    does it at conv speed. One-hot products and single-term sums are
+    exact in every dtype, so both paths are bit-identical
+    (tests/test_s2d.py)."""
     if s == 1:
         return x
+    if jax.default_backend() == "tpu":
+        return _to_s2d_conv(x, s)
     b, h, w, c = x.shape
     y = x.reshape(b, h // s, s, w // s, s, c)
     return y.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // s, w // s,
                                                  c * s * s)
+
+
+def _to_s2d_conv(x, s: int):
+    """to_s2d as a one-hot stride-s conv (exact; see to_s2d)."""
+    c = x.shape[-1]
+    k = jnp.asarray(_s2d_onehot(s, c), x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, k, (s, s), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def from_s2d(x, s: int):
@@ -107,6 +137,50 @@ def expand_kernel(w, s_in: int, stride: int = 1,
     return wex.reshape(k2h, k2w, s_in * s_in * cin, so * so * cout)
 
 
+def prep_conv_s2d(w, bias, s: int, stride: int = 1,
+                  offset: Optional[int] = None, dtype=None):
+    """The input-independent half of conv_s2d: expand (s > 1) and cast
+    the kernel/bias to their on-device form. Split out so inference can
+    hoist it per checkpoint instead of per forward (see `prepared`)."""
+    if s == 1:
+        wex = w if dtype is None else w.astype(dtype)
+        return wex, bias
+    so = s // stride
+    wex = expand_kernel(w, s, stride, offset)
+    if dtype is not None:
+        wex = wex.astype(dtype)
+    bex = None if bias is None else jnp.repeat(bias, so * so)
+    return wex, bex
+
+
+def run_conv_s2d(x, wex, bex, s: int, stride: int = 1,
+                 offset: Optional[int] = None, dtype=None,
+                 preferred_f32: bool = False, kernel_size=None):
+    """Execute conv_s2d given an already-prepared (wex, bex) pair."""
+    dtype = dtype or x.dtype
+    if s == 1:
+        kh, kw = wex.shape[0], wex.shape[1]
+        off = kh // 2 if offset is None else offset
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), wex.astype(dtype), (stride, stride),
+            ((off, kh - 1 - off), (off, kw - 1 - off)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=(jnp.float32 if preferred_f32
+                                    else None))
+        if bex is not None:
+            y = y + bex.astype(y.dtype)
+        return y if preferred_f32 else y.astype(dtype)
+    kk = wex.shape[0] // 2, wex.shape[1] // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), wex.astype(dtype), (1, 1),
+        ((kk[0], kk[0]), (kk[1], kk[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if preferred_f32 else None)
+    if bex is not None:
+        y = y + bex.astype(y.dtype)
+    return y if preferred_f32 else y.astype(dtype)
+
+
 def conv_s2d(x, w, bias, s: int, stride: int = 1,
              offset: Optional[int] = None, dtype=None,
              preferred_f32: bool = False):
@@ -114,29 +188,62 @@ def conv_s2d(x, w, bias, s: int, stride: int = 1,
     an s2d(s) input; returns the s2d(s//stride) output (same physical
     resolution)."""
     dtype = dtype or x.dtype
+    wex, bex = prep_conv_s2d(w, bias, s, stride, offset, dtype=dtype)
+    return run_conv_s2d(x, wex, bex, s, stride, offset, dtype=dtype,
+                        preferred_f32=preferred_f32)
+
+
+def prepared(module: nn.Module, name: str, compute: Callable[[], Any]):
+    """Inference-time weight-prep cache (variable collection "wexp").
+
+    Three modes, selected by the caller's `variables`/`mutable`:
+      - normal apply (no "wexp" anywhere): compute() runs inline — the
+        default, exactly the pre-cache behavior (training path).
+      - prep pass (apply with mutable=["wexp"]): compute() runs and the
+        result is recorded under the module's scope; the caller collects
+        the new collection (see `prepare_variables`).
+      - fast pass (variables include "wexp"): the recorded value is used
+        directly — zero per-forward prep work (expansion einsums, casts,
+        weight standardization all vanish from the forward HLO).
+    Inference-only by construction: a training step never passes "wexp",
+    so updated params always recompute their prep."""
+    if module.has_variable("wexp", name):
+        return module.get_variable("wexp", name)
+    value = compute()
+    if (module.scope is not None and not module.is_initializing()
+            and module.scope.is_mutable_collection("wexp")):
+        module.put_variable("wexp", name, value)
+    return value
+
+
+def prep_conv3d_s2d(w, bias, s: int, dtype=None):
+    """Input-independent half of conv3d_s2d (see prep_conv_s2d)."""
+    kd, kh, kw, cin, cout = w.shape
     if s == 1:
-        kh, kw = w.shape[0], w.shape[1]
-        off = kh // 2 if offset is None else offset
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), w.astype(dtype), (stride, stride),
-            ((off, kh - 1 - off), (off, kw - 1 - off)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=(jnp.float32 if preferred_f32
-                                    else None))
-        if bias is not None:
-            y = y + bias.astype(y.dtype)
-        return y if preferred_f32 else y.astype(dtype)
-    so = s // stride
-    wex = expand_kernel(w, s, stride, offset)
-    kk = wex.shape[0] // 2, wex.shape[1] // 2
+        return (w if dtype is None else w.astype(dtype)), bias
+    sh, _ = _axis_map(kh, s, 1, kh // 2)
+    sw, _ = _axis_map(kw, s, 1, kw // 2)
+    wex = jnp.einsum("xpqa,yrtb,dabio->dxyiproqt",
+                     jnp.asarray(sh, w.dtype), jnp.asarray(sw, w.dtype), w)
+    k2h, k2w = sh.shape[0], sw.shape[0]
+    wex = wex.reshape(kd, k2h, k2w, s * s * cin, s * s * cout)
+    if dtype is not None:
+        wex = wex.astype(dtype)
+    bex = None if bias is None else jnp.repeat(bias, s * s)
+    return wex, bex
+
+
+def run_conv3d_s2d(x, wex, bex, s: int, dtype=None):
+    """Execute conv3d_s2d given an already-prepared (wex, bex) pair."""
+    dtype = dtype or x.dtype
+    kd, k2h, k2w = wex.shape[0], wex.shape[1], wex.shape[2]
     y = jax.lax.conv_general_dilated(
-        x.astype(dtype), wex.astype(dtype), (1, 1),
-        ((kk[0], kk[0]), (kk[1], kk[1])),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if preferred_f32 else None)
-    if bias is not None:
-        y = y + jnp.repeat(bias, so * so).astype(y.dtype)
-    return y if preferred_f32 else y.astype(dtype)
+        x.astype(dtype), wex.astype(dtype), (1, 1, 1),
+        ((kd // 2, kd // 2), (k2h // 2, k2h // 2), (k2w // 2, k2w // 2)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if bex is not None:
+        y = y + bex.astype(y.dtype)
+    return y
 
 
 def conv3d_s2d(x, w, bias, s: int, dtype=None):
@@ -149,26 +256,8 @@ def conv3d_s2d(x, w, bias, s: int, dtype=None):
     lanes — the PixelViewWeight fix (docs/perf_breakdown.md r2 item 4:
     "the win needs channel widening")."""
     dtype = dtype or x.dtype
-    kd, kh, kw, cin, cout = w.shape
-    if s == 1:
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), w.astype(dtype), (1, 1, 1),
-            ((kd // 2, kd // 2), (kh // 2, kh // 2), (kw // 2, kw // 2)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        return y + bias.astype(dtype) if bias is not None else y
-    sh, _ = _axis_map(kh, s, 1, kh // 2)
-    sw, _ = _axis_map(kw, s, 1, kw // 2)
-    wex = jnp.einsum("xpqa,yrtb,dabio->dxyiproqt",
-                     jnp.asarray(sh, w.dtype), jnp.asarray(sw, w.dtype), w)
-    k2h, k2w = sh.shape[0], sw.shape[0]
-    wex = wex.reshape(kd, k2h, k2w, s * s * cin, s * s * cout)
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype), wex.astype(dtype), (1, 1, 1),
-        ((kd // 2, kd // 2), (k2h // 2, k2h // 2), (k2w // 2, k2w // 2)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-    if bias is not None:
-        y = y + jnp.repeat(bias, s * s).astype(y.dtype)
-    return y
+    wex, bex = prep_conv3d_s2d(w, bias, s, dtype=dtype)
+    return run_conv3d_s2d(x, wex, bex, s, dtype=dtype)
 
 
 def repeat_channels(v, s: int):
@@ -180,18 +269,17 @@ def repeat_channels(v, s: int):
 
 def upsample_nearest_s2d(x, s_in: int):
     """Nearest x2 on the original tensor: s2d(s_in) repr -> s2d(2*s_in)
-    repr at the SAME physical resolution (pure channel gather:
-    (c, p1, p2) <- (c, p1//2, p2//2))."""
+    repr at the SAME physical resolution (pure channel duplication:
+    (c, p1, p2) <- (c, p1//2, p2//2)). Implemented as repeats on the
+    (s, s) sub-axes of the c-major channel view — a jnp.take over the
+    channel axis lowered to a ~1500-op while loop on TPU (~7 ms/forward
+    in the feature net, tools/trace_op.py feature)."""
     cs = x.shape[-1]
     c = cs // (s_in * s_in)
-    s_out = 2 * s_in
-    idx = np.empty(c * s_out * s_out, np.int32)
-    for ci in range(c):
-        for p1 in range(s_out):
-            for p2 in range(s_out):
-                idx[(ci * s_out + p1) * s_out + p2] = (
-                    (ci * s_in + p1 // 2) * s_in + p2 // 2)
-    return jnp.take(x, jnp.asarray(idx), axis=-1)
+    lead = x.shape[:-1]
+    v = x.reshape(lead + (c, s_in, s_in))
+    v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+    return v.reshape(lead + (c * 4 * s_in * s_in,))
 
 
 class ConvS2D(nn.Module):
@@ -216,8 +304,37 @@ class ConvS2D(nn.Module):
                             (kh, kw, cin, self.features), jnp.float32)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            jnp.float32) if self.use_bias else None)
-        return conv_s2d(x, kernel, bias, self.s, self.stride,
-                        dtype=self.dtype or x.dtype)
+        dtype = self.dtype or x.dtype
+        wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
+            kernel, bias, self.s, self.stride, dtype=dtype))
+        return run_conv_s2d(x, wex, bex, self.s, self.stride, dtype=dtype)
+
+
+def prepare_wexp(apply_fn, variables, *args, **kwargs):
+    """Run one apply pass that records the "wexp" weight-prep collection
+    and return `variables` extended with it. The pass is jitted to
+    return ONLY the collection, so XLA dead-code-eliminates the actual
+    forward compute — the cost is just the prep subgraph (kernel
+    expansions + casts), once per loaded checkpoint.
+
+    apply_fn(variables, *args, mutable=[...], **kwargs) must follow the
+    flax Module.apply signature (pass `model.apply` or a lambda). Only
+    array leaves are traced; Python scalars/functions in args stay
+    closure constants (e.g. train=False flags)."""
+    leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+    arr_idx = [i for i, leaf in enumerate(leaves)
+               if isinstance(leaf, (jax.Array, np.ndarray))]
+
+    @jax.jit
+    def _prep(v, arr_leaves):
+        full = list(leaves)
+        for i, leaf in zip(arr_idx, arr_leaves):
+            full[i] = leaf
+        a, kw = jax.tree_util.tree_unflatten(treedef, full)
+        return apply_fn(v, *a, mutable=["wexp"], **kw)[1]
+
+    wexp = _prep(variables, [leaves[i] for i in arr_idx])
+    return {**variables, **wexp}
 
 
 def to_s2d_vol(x, s: int):
@@ -258,8 +375,10 @@ class Conv3DS2D(nn.Module):
                             (kd, kh, kw, cin, self.features), jnp.float32)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            jnp.float32) if self.use_bias else None)
-        return conv3d_s2d(x, kernel, bias, self.s,
-                          dtype=self.dtype or x.dtype)
+        dtype = self.dtype or x.dtype
+        wex, bex = prepared(self, "wex", lambda: prep_conv3d_s2d(
+            kernel, bias, self.s, dtype=dtype))
+        return run_conv3d_s2d(x, wex, bex, self.s, dtype=dtype)
 
 
 class BatchNormS2D(nn.Module):
@@ -293,6 +412,14 @@ class BatchNormS2D(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+            mul, add = prepared(self, "affine", lambda: (
+                repeat_channels(
+                    scale * jax.lax.rsqrt(var + self.epsilon), self.s),
+                repeat_channels(
+                    bias - mean * scale
+                    * jax.lax.rsqrt(var + self.epsilon), self.s)))
+            y = x.astype(jnp.float32) * mul + add
+            return y.astype(self.dtype or x.dtype)
         else:
             xf = x.astype(jnp.float32).reshape(x.shape[:-1] + (c, ss))
             red = tuple(range(x.ndim - 1)) + (x.ndim,)
@@ -343,8 +470,9 @@ class GroupNormS2D(nn.Module):
         mul = jax.lax.rsqrt(var + self.epsilon)        # [B, g]
         mean_ch = jnp.repeat(gm1, cs // g, axis=1)     # [B, cs] (tiny op)
         mul_ch = jnp.repeat(mul, cs // g, axis=1)
-        sc = repeat_channels(scale, self.s)
-        bi = repeat_channels(bias, self.s)
+        sc, bi = prepared(self, "affine", lambda: (
+            repeat_channels(scale, self.s),
+            repeat_channels(bias, self.s)))
         a = (mul_ch[:, None, None, :] * sc)
         y = xf * a + (bi - mean_ch[:, None, None, :] * a)
         return y.astype(self.dtype or x.dtype)

@@ -30,7 +30,10 @@ from diffmvs_tpu.nn.s2d import (
     GroupNormS2D,
     conv_s2d,
     from_s2d,
+    prep_conv_s2d,
+    prepared,
     repeat_channels,
+    run_conv_s2d,
     to_s2d,
     upsample_nearest_s2d,
 )
@@ -84,17 +87,16 @@ class WSConv(nn.Module):
         bias = self.param("bias", torch_bias_init(in_ch * k * k),
                           (self.features,), jnp.float32)
         eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
-        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
-        w = (kernel - mean) * jax.lax.rsqrt(var + eps)
         dtype = self.dtype or x.dtype
-        if self.s > 1:
-            return conv_s2d(x, w, bias, self.s, dtype=dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), w.astype(dtype), (1, 1),
-            ((k // 2, k // 2), (k // 2, k // 2)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + bias.astype(dtype)
+
+        def standardize():
+            mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+            return (kernel - mean) * jax.lax.rsqrt(var + eps)
+
+        wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
+            standardize(), bias, self.s, dtype=dtype))
+        return run_conv_s2d(x, wex, bex, self.s, dtype=dtype)
 
 
 class Conv7x7RowSum(nn.Module):
@@ -129,7 +131,9 @@ class Conv7x7RowSum(nn.Module):
             # measured ~0 ms vs 9.9 ms (tools/bench_layout.py). A single
             # conv carries one output rounding (MXU accumulates f32
             # internally), so the row-sum path's f32 partials are moot.
-            return conv_s2d(x, kernel, bias, self.s, dtype=dtype)
+            wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
+                kernel, bias, self.s, dtype=dtype))
+            return run_conv_s2d(x, wex, bex, self.s, dtype=dtype)
         h = x.shape[1]
         xp = jnp.pad(x, ((0, 0), (3, 3), (0, 0), (0, 0))).astype(dtype)
         y = None
@@ -252,10 +256,17 @@ class _DownsampleS2D(nn.Module):
                             (1, 1, 4 * c, self.features), jnp.float32)
         bias = self.param("bias", torch_bias_init(4 * c),
                           (self.features,), jnp.float32)
-        # [1,1,(c*2+r1)*2+r2, out] -> 2x2 unpadded stride-2 conv kernel
-        k2 = kernel.reshape(c, 2, 2, self.features).transpose(1, 2, 0, 3)
-        return conv_s2d(x, k2, bias, self.s, stride=2, offset=0,
-                        dtype=self.dtype or x.dtype)
+        dtype = self.dtype or x.dtype
+
+        def k2():
+            # [1,1,(c*2+r1)*2+r2, out] -> 2x2 unpadded stride-2 kernel
+            return kernel.reshape(c, 2, 2, self.features).transpose(
+                1, 2, 0, 3)
+
+        wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
+            k2(), bias, self.s, stride=2, offset=0, dtype=dtype))
+        return run_conv_s2d(x, wex, bex, self.s, stride=2, offset=0,
+                            dtype=dtype)
 
 
 class Upsample(nn.Module):

@@ -27,6 +27,31 @@ def test_to_from_s2d_roundtrip(rng):
         np.testing.assert_array_equal(np.asarray(from_s2d(y, s)), x)
 
 
+def test_to_s2d_conv_path_bit_exact(rng):
+    """The TPU one-hot-conv relayout (to_s2d's fast path) is bit-exact
+    vs the reshape/transpose path, in f32 and bf16."""
+    from diffmvs_tpu.nn.s2d import _to_s2d_conv
+
+    for s, c in ((2, 8), (4, 16), (4, 3)):
+        x = jnp.asarray(rng.randn(2, 16, 16, c).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(_to_s2d_conv(x, s)), np.asarray(to_s2d(x, s)))
+        xb = x.astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(_to_s2d_conv(xb, s)).astype(np.float32),
+            np.asarray(to_s2d(xb, s)).astype(np.float32))
+
+
+def test_upsample_nearest_s2d(rng):
+    """repeat-based channel duplication == nearest x2 on the original."""
+    for s_in, c in ((1, 16), (2, 8), (4, 3)):
+        x = jnp.asarray(rng.rand(2, 16, 16, c).astype(np.float32))
+        up = upsample_nearest_s2d(to_s2d(x, s_in), s_in)
+        ref = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        np.testing.assert_array_equal(
+            np.asarray(from_s2d(up, 2 * s_in)), np.asarray(ref))
+
+
 def test_s2d_channel_order_c_major(rng):
     """Channel index (c*s+p1)*s+p2: concat commutes with s2d."""
     a = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))

@@ -115,6 +115,8 @@ def main(selected):
                       dtype=dt)
     flat_imgs = imgs.reshape(B * V, H, W, 3)
     fvars = fnet.init(key, flat_imgs[:1], False)
+    from diffmvs_tpu.nn.s2d import prepare_wexp
+    fvars = prepare_wexp(fnet.apply, fvars, flat_imgs[:1], False)
     measure("feature_net(BV imgs)",
             lambda x: fnet.apply(fvars, x, False), flat_imgs)
 
@@ -146,6 +148,9 @@ def main(selected):
     ivars = istage.init(key, [f[:1] for f in feat1], ctx1[:1],
                         projs["stage1"][:1], depth_hyp1[:1], scale_inv,
                         False)
+    ivars = prepare_wexp(istage.apply, ivars, [f[:1] for f in feat1],
+                         ctx1[:1], projs["stage1"][:1], depth_hyp1[:1],
+                         scale_inv, False)
     measure("stage1_initial(total)",
             lambda f0, *rest: istage.apply(
                 ivars, [f0] + list(rest[:V - 1]), rest[V - 1], rest[V],
@@ -211,10 +216,15 @@ def main(selected):
                 eta=cfg.ddim_eta[stage_idx],
                 scale=cfg.scale[stage_idx]),
             min_radius=cfg.min_radius, max_radius=cfg.max_radius,
-            warp_kernel=cfg.warp_kernel, unet_s2d=cfg.unet_s2d, dtype=dt)
+            warp_kernel=cfg.warp_kernel, unet_s2d=cfg.unet_s2d,
+            unroll=cfg.unroll_iters, dtype=dt)
         rvars = rstage.init(key, inv[:1], hidden[:1], ctx[:1],
                             [f[:1] for f in feat], proj[:1], dmin[:1],
                             dmax[:1], vw[:, :1], rng=None, train=False)
+        rvars = prepare_wexp(rstage.apply, rvars, inv[:1], hidden[:1],
+                             ctx[:1], [f[:1] for f in feat], proj[:1],
+                             dmin[:1], dmax[:1], vw[:, :1],
+                             rng=None, train=False)
         sname = f"stage{stage_idx + 1}"
         measure(f"{sname}_refine(3 iters)",
                 lambda i_, h_, c_, *rest: rstage.apply(
@@ -254,6 +264,10 @@ def main(selected):
                            {k: v[:1] for k, v in projs.items()},
                            depth_values[:1], rng=None, train=False,
                            export=True)
+        mvars = prepare_wexp(
+            model.apply, mvars, imgs[:1],
+            {k: v[:1] for k, v in projs.items()}, depth_values[:1],
+            rng=None, train=False, export=True)
         # not in the default set: its chained-scan wrapper misses the
         # bench's compile-cache entry and a cold full-res compile costs
         # 15-45 min — run `python tools/profile_forward.py FULL` to opt

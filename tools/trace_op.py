@@ -115,6 +115,11 @@ def trace_full():
                            {k: v[:1] for k, v in projs.items()},
                            depth_values[:1], rng=None, train=False,
                            export=True)
+    from diffmvs_tpu.nn.s2d import prepare_wexp
+    variables = prepare_wexp(
+        model.apply, variables, imgs[:1],
+        {k: v[:1] for k, v in projs.items()}, depth_values[:1],
+        rng=None, train=False, export=True)
 
     @jax.jit
     def run(key, imgs, projs, depth_values):
@@ -136,6 +141,128 @@ def trace_full():
     with jax.profiler.trace(logdir):
         float(run(key, imgs, projs, depth_values))
     parse_trace_grouped(logdir)
+
+
+def trace_component(which):
+    """Trace one composed forward component at the bench configuration
+    (stage2/stage3 refinement incl. pallas cost volumes, or the feature
+    net) and print the grouped per-source-line attribution."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from diffmvs_tpu.config import CASDIFFMVS, tpu_optimized
+    from diffmvs_tpu.models.schedule import DiffusionSchedule
+    from diffmvs_tpu.models.refine import RefinementStage
+    from diffmvs_tpu.nn.feature import FeatureNet
+    from diffmvs_tpu.utils.synthetic import synthetic_inputs
+
+    B, H, W, ND, V = 4, 1152, 1600, 384, 5
+    cfg = tpu_optimized(dataclasses.replace(
+        CASDIFFMVS, numdepth_initial=48, numdepth=ND,
+        compute_dtype="bfloat16"))
+    dt = cfg.dtype
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    imgs, projs, depth_values = synthetic_inputs(B, V, H, W, ND)
+
+    if which == "feature":
+        fnet = FeatureNet(base_channels=cfg.base_channels,
+                          out_channels=cfg.feat_dim_stage,
+                          s2d=cfg.feature_s2d, dtype=dt)
+        flat = jnp.asarray(imgs.reshape(B * V, H, W, 3))
+        fvars = fnet.init(key, flat[:1], False)
+        from diffmvs_tpu.nn.s2d import prepare_wexp
+        fvars = prepare_wexp(fnet.apply, fvars, flat[:1], False)
+
+        @jax.jit
+        def run(x):
+            def body(acc, i):
+                out = fnet.apply(fvars,
+                                 x + (acc * 1e-12).astype(x.dtype), False)
+                tot = jnp.float32(0.0)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    tot = tot + leaf.astype(jnp.float32).mean()
+                return acc + tot, None
+            return jax.lax.scan(body, jnp.float32(0.0),
+                                jnp.arange(10))[0]
+
+        float(run(flat))
+        logdir = "/tmp/trace_feature"
+        os.system(f"rm -rf {logdir}")
+        with jax.profiler.trace(logdir):
+            float(run(flat))
+        parse_trace_grouped(logdir)
+        return
+
+    stage_idx = 2 if which == "stage3" else 1
+    skey = f"stage{stage_idx + 1}"
+    hs, ws = H // (2 ** (3 - stage_idx)), W // (2 ** (3 - stage_idx))
+    c = cfg.feat_dim_stage[stage_idx]
+    hd = cfg.hidden_dim[stage_idx]
+    feat = [jnp.asarray(rng.rand(B, hs, ws, c).astype(np.float32))
+            for _ in range(V)]
+    hidden = jnp.asarray(np.tanh(
+        rng.rand(B, H // 8, W // 8, hd).astype(np.float32)))
+    ctx = jnp.asarray(np.maximum(
+        rng.rand(B, hs, ws, cfg.context_dim[stage_idx]).astype(np.float32)
+        - 0.2, 0))
+    inv = jnp.full((B, hs, ws), 0.5, jnp.float32)
+    vw = jnp.asarray(rng.rand(V - 1, B, hs, ws).astype(np.float32))
+    dmin = jnp.full((B,), 4.0, jnp.float32)
+    dmax = jnp.full((B,), 10.0, jnp.float32)
+    proj = jnp.asarray(projs[skey])
+
+    rstage = RefinementStage(
+        unet_dim=cfg.unet_dim[stage_idx],
+        dim_mults=cfg.unet_dim_mults[stage_idx],
+        hidden_dim=hd, context_dim=cfg.context_dim[stage_idx],
+        num_sample=cfg.cost_num[stage_idx],
+        cost_dim=cfg.cost_dim_stage[stage_idx] * cfg.cost_num[stage_idx],
+        group_dim=cfg.cost_dim_stage[stage_idx],
+        depth_interval=(1.0 / ND) * cfg.depth_intervals_ratio[stage_idx],
+        iters=cfg.stage_iters[stage_idx], up_ratio=cfg.up_ratio,
+        schedule=DiffusionSchedule(
+            timesteps=cfg.timesteps[stage_idx],
+            sampling_timesteps=cfg.sampling_timesteps[stage_idx],
+            eta=cfg.ddim_eta[stage_idx],
+            scale=cfg.scale[stage_idx]),
+        min_radius=cfg.min_radius, max_radius=cfg.max_radius,
+        warp_kernel=cfg.warp_kernel, unet_s2d=cfg.unet_s2d,
+        unroll=cfg.unroll_iters, dtype=dt)
+    rvars = rstage.init(key, inv[:1], hidden[:1], ctx[:1],
+                        [f[:1] for f in feat], proj[:1], dmin[:1],
+                        dmax[:1], vw[:, :1], rng=None, train=False)
+    from diffmvs_tpu.nn.s2d import prepare_wexp
+    rvars = prepare_wexp(rstage.apply, rvars, inv[:1], hidden[:1],
+                         ctx[:1], [f[:1] for f in feat], proj[:1],
+                         dmin[:1], dmax[:1], vw[:, :1],
+                         rng=None, train=False)
+
+    @jax.jit
+    def run(inv, hidden, ctx, feat, proj, dmin, dmax, vw):
+        def body(acc, i):
+            out = rstage.apply(
+                rvars, inv + (acc * 1e-12).astype(inv.dtype), hidden,
+                ctx, list(feat), proj, dmin, dmax, vw,
+                rng=None, train=False)
+            tot = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                tot = tot + leaf.astype(jnp.float32).mean()
+            return acc + tot, None
+        return jax.lax.scan(body, jnp.float32(0.0), jnp.arange(5))[0]
+
+    float(run(inv, hidden, ctx, tuple(feat), proj, dmin, dmax, vw))
+    logdir = f"/tmp/trace_{which}"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        float(run(inv, hidden, ctx, tuple(feat), proj, dmin, dmax, vw))
+    parse_trace_grouped(logdir, top=50)
 
 
 def main(which):
@@ -194,5 +321,7 @@ if __name__ == "__main__":
         parse_trace_grouped(sys.argv[2])
     elif sys.argv[1] == "full":
         trace_full()
+    elif sys.argv[1] in ("stage2", "stage3", "feature"):
+        trace_component(sys.argv[1])
     else:
         main(sys.argv[1])
