@@ -87,14 +87,10 @@ class InitialStage(nn.Module):
                 from diffmvs_tpu.ops.pallas.warp_corr import (
                     warp_corr_pallas)
 
-                cor = jnp.concatenate([
-                    warp_corr_pallas(
-                        src_fea[j:j + 1], ref_fea[j:j + 1],
-                        proj_pairs[j:j + 1, i + 1], proj_pairs[j:j + 1, 0],
-                        depth_values[j:j + 1], self.group_dim,
-                        window_group=8)
-                    for j in range(src_fea.shape[0])
-                ]).astype(ref_fea.dtype)
+                cor = warp_corr_pallas(
+                    src_fea, ref_fea, proj_pairs[:, i + 1],
+                    proj_pairs[:, 0], depth_values, self.group_dim,
+                    window_group=8).astype(ref_fea.dtype)
             else:
                 cor = warp_and_correlate(
                     src_fea, ref_fea, proj_pairs[:, i + 1],
@@ -160,13 +156,11 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
         from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
 
         for i, src_fea in enumerate(features[1:]):
-            cor = jnp.concatenate([
-                warp_corr_pallas(
-                    src_fea[j:j + 1], ref_fea[j:j + 1],
-                    proj_pairs[j:j + 1, i + 1], proj_pairs[j:j + 1, 0],
-                    depth_hyp[j:j + 1], group_dim)
-                for j in range(src_fea.shape[0])
-            ])
+            # batched call: shared prep/epilogue, per-sample launches
+            # inside (_warp_corr_impl)
+            cor = warp_corr_pallas(
+                src_fea, ref_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
+                depth_hyp, group_dim)
             cor_list.append(cor.astype(ref_fea.dtype))
     else:
         for i, src_fea in enumerate(features[1:]):

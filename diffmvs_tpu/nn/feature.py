@@ -75,7 +75,10 @@ class FeatureNet(nn.Module):
             def cba(name, feats, k, stride, s):
                 return ConvBnActS2D(feats, k, stride, s=s, dtype=dt,
                                     name=name)
-            x = to_s2d(x, 4)
+            # cast to the compute dtype BEFORE the relayout: halves the
+            # one-hot-conv to_s2d's traffic (the first ConvBnAct casts
+            # to dt anyway, so only the relayout itself changes dtype)
+            x = to_s2d(x.astype(dt) if dt is not None else x, 4)
             c0 = cba("conv0_0", bc, 3, 1, 4)(x, train)
             c0 = cba("conv0_1", bc, 3, 1, 4)(c0, train)
 

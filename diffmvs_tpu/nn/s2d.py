@@ -79,14 +79,39 @@ def _to_s2d_conv(x, s: int):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+@functools.lru_cache(maxsize=None)
+def _from_s2d_onehot(s: int, c: int):
+    """One-hot [s, s, C*s*s, C] kernel whose stride-s VALID
+    conv_transpose IS from_s2d (spatially flipped: conv_transpose
+    mirrors the kernel)."""
+    k = np.zeros((s, s, c * s * s, c), np.float32)
+    for p1 in range(s):
+        for p2 in range(s):
+            for ci in range(c):
+                k[s - 1 - p1, s - 1 - p2, (ci * s + p1) * s + p2, ci] = 1.0
+    return k
+
+
 def from_s2d(x, s: int):
-    """Inverse of to_s2d."""
+    """Inverse of to_s2d. TPU: one-hot conv_transpose (exact — single
+    one-hot tap per output pixel; same rationale as to_s2d)."""
     if s == 1:
         return x
+    if jax.default_backend() == "tpu":
+        return _from_s2d_conv(x, s)
     b, h, w, cs = x.shape
     c = cs // (s * s)
     y = x.reshape(b, h, w, c, s, s)
     return y.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * s, w * s, c)
+
+
+def _from_s2d_conv(x, s: int):
+    """from_s2d as a one-hot stride-s conv_transpose (see from_s2d)."""
+    c = x.shape[-1] // (s * s)
+    k = jnp.asarray(_from_s2d_onehot(s, c), x.dtype)
+    return jax.lax.conv_transpose(
+        x, k, (s, s), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -441,7 +466,15 @@ class BatchNormS2D(nn.Module):
 class GroupNormS2D(nn.Module):
     """nn.GroupNorm drop-in (same 'scale'/'bias' params, original C) on
     an s2d(s) input. c-major channel order keeps groups contiguous, so
-    the statistics are identical to NHWC GroupNorm."""
+    the statistics are identical to NHWC GroupNorm.
+
+    scale_shift/silu: optional fused FiLM conditioning + SiLU epilogue.
+    The FiLM affine folds into the per-channel norm affine (tiny [B,cs]
+    algebra), so norm-apply + FiLM + SiLU run as ONE elementwise pass
+    over the tensor instead of three — the separate passes measured
+    ~10 ms per stage-3 call (tools/trace_op.py). Same math modulo f32
+    reassociation (and the FiLM product now runs in f32 rather than the
+    compute dtype — strictly tighter)."""
 
     num_groups: int
     s: int = 1
@@ -449,7 +482,7 @@ class GroupNormS2D(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale_shift=None, silu: bool = False):
         b, h, w, cs = x.shape
         c = cs // (self.s * self.s)
         scale = self.param("scale", nn.initializers.ones, (c,),
@@ -473,6 +506,16 @@ class GroupNormS2D(nn.Module):
         sc, bi = prepared(self, "affine", lambda: (
             repeat_channels(scale, self.s),
             repeat_channels(bias, self.s)))
-        a = (mul_ch[:, None, None, :] * sc)
-        y = xf * a + (bi - mean_ch[:, None, None, :] * a)
+        a = (mul_ch[:, None, None, :] * sc)            # [B,1,1,cs]
+        b0 = bi - mean_ch[:, None, None, :] * a
+        if scale_shift is not None:
+            film_scale, film_shift = scale_shift       # [B,1,1,C] each
+            fs = repeat_channels(film_scale, self.s).astype(
+                jnp.float32) + 1.0
+            a = a * fs
+            b0 = b0 * fs + repeat_channels(film_shift, self.s).astype(
+                jnp.float32)
+        y = xf * a + b0
+        if silu:
+            y = nn.silu(y)
         return y.astype(self.dtype or x.dtype)

@@ -160,16 +160,16 @@ class Block(nn.Module):
         x = WSConv(self.features, 3, s=self.s, dtype=self.dtype,
                    name="proj")(x)
         if self.s > 1:
-            x = GroupNormS2D(num_groups=self.groups, s=self.s,
-                             epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        else:
-            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                             dtype=self.dtype, name="norm")(x)
+            # norm-apply + FiLM + SiLU fused into one elementwise pass
+            # (the FiLM affine folds into the norm affine — GroupNormS2D)
+            return GroupNormS2D(num_groups=self.groups, s=self.s,
+                                epsilon=1e-5, dtype=self.dtype,
+                                name="norm")(x, scale_shift=scale_shift,
+                                             silu=True)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
-            if self.s > 1:
-                scale = repeat_channels(scale, self.s)
-                shift = repeat_channels(shift, self.s)
             x = x * (scale + 1.0) + shift
         return nn.silu(x)
 

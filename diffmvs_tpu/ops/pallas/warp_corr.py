@@ -733,20 +733,43 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
         in_specs = [spec, spec, spec, spec, spec, ref_spec,
                     pl.BlockSpec(memory_space=pl.ANY)]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n, hb, t_tiles),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        scratch_shapes=scratch,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n * hb * t_tiles, d, rows, groups, tile), jnp.float32),
-        interpret=interpret,
-    )(bases, rstarts, *operands, ref_t, src_t)
+    def launch(n_launch, bases_l, rstarts_l, operands_l, ref_l, src_l):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_launch, hb, t_tiles),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_launch * hb * t_tiles, d, rows, groups, tile),
+                jnp.float32),
+            interpret=interpret,
+        )(bases_l, rstarts_l, *operands_l, ref_l, src_l)
+
+    if n == 1:
+        out = launch(n, bases, rstarts, operands, ref_t, src_t)
+    else:
+        # batched call: ONE shared operand prep / window geometry /
+        # epilogue for all N samples, but one pallas_call per sample —
+        # per-sample launches pipeline better than an N-wide grid
+        # (stage-3: 6.0 vs 9.2 ms, docs/perf_breakdown.md), while the
+        # per-(view,sample) XLA glue was ~6x the kernel time
+        # (tools/bench_kernel.py packed=0.18 ms vs ~1.2 ms glue).
+        outs = []
+        for j in range(n):
+            row = slice(j * hb, (j + 1) * hb)
+            blk = slice(j * hb * t_tiles, (j + 1) * hb * t_tiles)
+            bases_j = bases[:, :, row]
+            rstarts_j = (rstarts[:, row, :] if use_rowbatch
+                         else rstarts[:, :, :, row])
+            operands_j = tuple(o[blk] for o in operands)
+            outs.append(launch(1, bases_j, rstarts_j, operands_j,
+                               ref_t[blk], src_t[j:j + 1]))
+        out = jnp.concatenate(outs)
 
     # [N*HB*T, D, rows, G, tile] -> [N, D, H, W, G]
     out = out.reshape(n, hb, t_tiles, d, rows, groups, tile)

@@ -69,6 +69,33 @@ def test_warp_corr_fused_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_warp_corr_batched_matches_per_sample(rng):
+    """n > 1 takes the shared-prep + per-sample-launch path
+    (_warp_corr_impl): must equal per-sample n = 1 calls exactly."""
+    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
+
+    src1, ref1, sp, rp, depths1 = _corr_setup(rng)
+    n = 3
+    src = jnp.concatenate([src1 + 0.1 * j for j in range(n)])
+    ref = jnp.concatenate([ref1 - 0.1 * j for j in range(n)])
+    depths = jnp.concatenate([depths1 + 0.01 * j for j in range(n)])
+    spn = jnp.concatenate([sp] * n)
+    rpn = jnp.concatenate([rp] * n)
+
+    got = np.asarray(jax.jit(
+        lambda s, r, a, b, dd: warp_corr_pallas(s, r, a, b, dd, 4,
+                                                interpret=True)
+    )(src, ref, spn, rpn, depths))
+    for j in range(n):
+        want_j = np.asarray(jax.jit(
+            lambda s, r, a, b, dd: warp_corr_pallas(s, r, a, b, dd, 4,
+                                                    interpret=True)
+        )(src[j:j + 1], ref[j:j + 1], spn[j:j + 1], rpn[j:j + 1],
+          depths[j:j + 1]))
+        np.testing.assert_allclose(got[j:j + 1], want_j,
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_warp_corr_packed_bf16_matches_f32(rng):
     """Packed bf16 channel-pair gathers == the f32 kernel on the same
     bf16-rounded sources (both interpolate in f32 on identical values;

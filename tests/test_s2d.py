@@ -28,18 +28,25 @@ def test_to_from_s2d_roundtrip(rng):
 
 
 def test_to_s2d_conv_path_bit_exact(rng):
-    """The TPU one-hot-conv relayout (to_s2d's fast path) is bit-exact
-    vs the reshape/transpose path, in f32 and bf16."""
-    from diffmvs_tpu.nn.s2d import _to_s2d_conv
+    """The TPU one-hot-conv relayouts (to_s2d/from_s2d fast paths) are
+    bit-exact vs the reshape/transpose paths, in f32 and bf16."""
+    from diffmvs_tpu.nn.s2d import _from_s2d_conv, _to_s2d_conv
 
     for s, c in ((2, 8), (4, 16), (4, 3)):
         x = jnp.asarray(rng.randn(2, 16, 16, c).astype(np.float32))
         np.testing.assert_array_equal(
             np.asarray(_to_s2d_conv(x, s)), np.asarray(to_s2d(x, s)))
+        xs = to_s2d(x, s)
+        np.testing.assert_array_equal(
+            np.asarray(_from_s2d_conv(xs, s)), np.asarray(x))
         xb = x.astype(jnp.bfloat16)
         np.testing.assert_array_equal(
             np.asarray(_to_s2d_conv(xb, s)).astype(np.float32),
             np.asarray(to_s2d(xb, s)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(_from_s2d_conv(to_s2d(xb, s), s)).astype(
+                np.float32),
+            np.asarray(xb).astype(np.float32))
 
 
 def test_upsample_nearest_s2d(rng):
