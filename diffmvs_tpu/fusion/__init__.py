@@ -7,3 +7,7 @@ from diffmvs_tpu.fusion.fuse import (  # noqa: F401
     filter_depth,
     filter_depth_dynamic,
 )
+from diffmvs_tpu.fusion.metrics import (  # noqa: F401
+    accuracy_completeness,
+    nn_distances,
+)
