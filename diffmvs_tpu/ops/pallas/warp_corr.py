@@ -529,6 +529,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      band: int = BAND_ROWS, packed=None, skip: str = "",
                      batch_rows: bool = True, win_w: int = 0,
                      tile: int = 0, chunk_cap: int = 4096,
+                     batch_glue: bool = True,
                      interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
@@ -559,9 +560,19 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                   batch_rows=batch_rows, win_w=win_w, tile=tile,
                   chunk_cap=chunk_cap, interpret=interpret)
 
+    def impl(src, ref, sp, rp, dv):
+        if batch_glue or src.shape[0] == 1:
+            return _warp_corr_impl(src, ref, sp, rp, dv, groups, **kwargs)
+        # A/B mode: fully per-sample calls (separate operand prep /
+        # window geometry / epilogue per sample — the pre-r3 shape)
+        return jnp.concatenate([
+            _warp_corr_impl(src[j:j + 1], ref[j:j + 1], sp[j:j + 1],
+                            rp[j:j + 1], dv[j:j + 1], groups, **kwargs)
+            for j in range(src.shape[0])])
+
     @jax.custom_vjp
     def run(src, ref, sp, rp, dv):
-        return _warp_corr_impl(src, ref, sp, rp, dv, groups, **kwargs)
+        return impl(src, ref, sp, rp, dv)
 
     def run_fwd(src, ref, sp, rp, dv):
         return run(src, ref, sp, rp, dv), (src, ref, sp, rp, dv)

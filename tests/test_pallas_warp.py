@@ -95,6 +95,15 @@ def test_warp_corr_batched_matches_per_sample(rng):
         np.testing.assert_allclose(got[j:j + 1], want_j,
                                    rtol=1e-5, atol=1e-6)
 
+    # the batch_glue=False A/B mode (fully per-sample prep) is the same
+    # computation routed through n separate impls — must match exactly
+    ab = np.asarray(jax.jit(
+        lambda s, r, a, b, dd: warp_corr_pallas(s, r, a, b, dd, 4,
+                                                batch_glue=False,
+                                                interpret=True)
+    )(src, ref, spn, rpn, depths))
+    np.testing.assert_array_equal(got, ab)
+
 
 def test_warp_corr_packed_bf16_matches_f32(rng):
     """Packed bf16 channel-pair gathers == the f32 kernel on the same
