@@ -8,7 +8,8 @@ For users switching from the reference:
         "casdiffmvs_dtu.ckpt", preset="casdiffmvs")
     depth, confidences = runner(imgs, proj_matrices, depth_values)
 
-imgs: [B, V, H, W, 3] float32 in [0, 1] (ref view first); proj_matrices:
+imgs: [B, V, H, W, 3] float32 in [0, 1] or raw uint8 (normalized on
+device; ref view first); proj_matrices:
 {stage1..4: [B, V, 2, 4, 4]} (extrinsic, intrinsic); depth_values: [B, ND]
 inverse-depth linspace (see diffmvs_tpu.data.mvs for building these from a
 scene folder).

@@ -188,7 +188,9 @@ def save_scene_depth(args, cfg, testlist):
                 save_pfm(outpath("depth_est", ".pfm"), depth[j])
                 write_cam(outpath("cams", "_cam.txt"), cam, depth_max,
                           depth_min)
-                img8 = np.clip(imgs[j, 0] * 255, 0, 255).astype(np.uint8)
+                img8 = (np.asarray(imgs[j, 0])
+                        if imgs.dtype == np.uint8 else
+                        np.clip(imgs[j, 0] * 255, 0, 255).astype(np.uint8))
                 Image.fromarray(img8).save(outpath("images", ".jpg"))
                 n_conf = 3 if args.method == "casdiffmvs" else 2
                 for i in range(n_conf):

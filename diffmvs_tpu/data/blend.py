@@ -13,7 +13,7 @@ from typing import List
 
 import numpy as np
 
-from diffmvs_tpu.data.io import read_img, read_pfm
+from diffmvs_tpu.data.io import read_img_u8, read_pfm
 from diffmvs_tpu.data.resize import multiscale_pyramid
 
 
@@ -69,7 +69,7 @@ class MVSDataset:
         imgs, proj_matrices = [], []
         depth_ms = mask_ms = depth_values = None
         for i, vid in enumerate(view_ids):
-            img = read_img(os.path.join(
+            img = read_img_u8(os.path.join(
                 self.datapath, f"{scan}/blended_images/{vid:0>8}.jpg"))
             intr, extr, depth_min, depth_max = self._read_cam(os.path.join(
                 self.datapath, f"{scan}/cams/{vid:0>8}_cam.txt"))

@@ -108,7 +108,9 @@ class MVSDataset:
             cam_filename = os.path.join(
                 self.datapath, f"Cameras/train/{vid:0>8}_cam.txt")
 
-            img = np.array(Image.open(img_filename), dtype=np.float32) / 255.0
+            # raw uint8: the model normalizes on device (u8/255 in f32 is
+            # bit-identical to the reference's host-side /255)
+            img = np.asarray(Image.open(img_filename))
             intr, extr, depth_min, depth_max = self._read_cam(cam_filename)
 
             mat = np.zeros((2, 4, 4), dtype=np.float32)

@@ -175,3 +175,9 @@ def save_mask(filename: str, mask: np.ndarray) -> None:
 def read_img(filename: str) -> np.ndarray:
     """[H, W, 3] float32 in [0, 1]."""
     return np.array(Image.open(filename), dtype=np.float32) / 255.0
+
+
+def read_img_u8(filename: str) -> np.ndarray:
+    """[H, W, 3] uint8 (datasets emit raw bytes; the model normalizes on
+    device — 4x less worker-IPC and host->device traffic)."""
+    return np.asarray(Image.open(filename))

@@ -91,7 +91,8 @@ class MVSDataset:
         intrinsics = intrinsics.copy()
         intrinsics[0, :] *= new_w / w
         intrinsics[1, :] *= new_h / h
-        return resize_image_bilinear(img, (new_w, new_h)), intrinsics
+        return resize_image_bilinear(img, (new_w, new_h),
+                                     dtype=np.uint8), intrinsics
 
     def __getitem__(self, idx):
         scan, ref_view, src_views = self.metas[idx]
@@ -108,7 +109,8 @@ class MVSDataset:
 
             if self.dataset != "general":
                 ow, oh = img.size
-                img = resize_image_bilinear(img, self.img_wh)
+                img = resize_image_bilinear(img, self.img_wh,
+                                            dtype=np.uint8)
                 intr = intr.copy()
                 intr[0] *= self.img_wh[0] / ow
                 intr[1] *= self.img_wh[1] / oh

@@ -14,13 +14,16 @@ import numpy as np
 from PIL import Image
 
 
-def resize_image_bilinear(img, size_wh) -> np.ndarray:
+def resize_image_bilinear(img, size_wh, dtype=np.float32) -> np.ndarray:
     """img: [H, W, 3] float32 in [0,1], uint8, or a PIL Image;
-    size_wh: (W, H). Returns float32 in [0,1].
+    size_wh: (W, H). Returns float32 in [0,1], or raw uint8 with
+    dtype=np.uint8.
 
     Stays in uint8 through the resample when possible: the f32->u8->f32
     round-trip costs ~4x the resize itself at DTU eval resolution
-    (profiled; see bench.py --io)."""
+    (profiled; see bench.py --io). Datasets request dtype=np.uint8 and
+    the model normalizes on device (u8/255 in f32, within 1 ulp of this
+    host conversion) — 4x less worker-IPC and host->device traffic."""
     if isinstance(img, Image.Image):
         pil = img
     elif img.dtype == np.uint8:
@@ -29,6 +32,8 @@ def resize_image_bilinear(img, size_wh) -> np.ndarray:
         pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
     if pil.size != tuple(size_wh):
         pil = pil.resize(tuple(size_wh), Image.BILINEAR)
+    if dtype == np.uint8:
+        return np.asarray(pil)
     return np.asarray(pil, dtype=np.float32) / 255.0
 
 

@@ -117,6 +117,13 @@ class CasDiffMVS(nn.Module):
           replacing each stage's rng draw (reproducibility/parity seam).
         """
         cfg = self.cfg
+        if imgs.dtype == jnp.uint8:
+            # datasets ship raw bytes (4x less worker-IPC + host->device
+            # traffic); u8/255 in f32 matches the reference's host-side
+            # normalization (datasets/dtu.py:111 in the ref) to within
+            # 1 ulp (XLA strength-reduces the divide to a reciprocal
+            # multiply)
+            imgs = imgs.astype(jnp.float32) / 255.0
         b, v = imgs.shape[0], imgs.shape[1]
 
         disp_min = depth_values[:, 0].astype(jnp.float32)     # [B]

@@ -47,6 +47,7 @@ def test_eval_dataset_general(tmp_path):
     s = ds[0]
     # adaptive resize to multiples of 32 under max size
     assert s["imgs"].shape == (3, 64, 96, 3)
+    assert s["imgs"].dtype == np.uint8   # raw bytes; model normalizes on device
     assert s["depth_values"].shape == (32,)
     assert s["depth_values"][0] == pytest.approx(1 / 10.0)
     assert s["depth_values"][-1] == pytest.approx(1 / 2.5)
@@ -155,6 +156,7 @@ def test_dtu_train_dataset(tmp_path):
     assert len(ds) == 3 * 7          # 7 light conditions per view
     s = ds[0]
     assert s["imgs"].shape == (3, 512, 640, 3)
+    assert s["imgs"].dtype == np.uint8
     assert s["depth"]["stage4"].shape == (512, 640)
     assert s["depth"]["stage1"].shape == (64, 80)
     # depth_max = min + interval*scale*ndepths; interval_scale=1.06

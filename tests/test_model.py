@@ -124,3 +124,20 @@ def test_train_step_runs_and_updates(batch):
     p_after = jax.tree_util.tree_leaves(new_state.params)[0]
     assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
     assert new_state.step == 1
+
+
+def test_uint8_images_match_float(batch):
+    """uint8 batch images == pre-normalized float images to float
+    precision (the on-device u8/255 is within 1 ulp of the host's —
+    XLA lowers the divide to a reciprocal multiply)."""
+    cfg = tiny(CASDIFFMVS)
+    model, variables = _init(cfg, batch, train=False)
+    img_u8 = np.clip(np.asarray(batch["imgs"]) * 255, 0,
+                     255).astype(np.uint8)
+    img_f = img_u8.astype(np.float32) / 255.0
+    fn = jax.jit(lambda v, im: model.apply(
+        v, im, batch["proj_matrices"], batch["depth_values"],
+        rng=None, train=False, export=True)["depth"][-1])
+    df = np.asarray(fn(variables, img_f))
+    du = np.asarray(fn(variables, img_u8))
+    np.testing.assert_allclose(du, df, rtol=1e-4, atol=1e-4)
