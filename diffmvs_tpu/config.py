@@ -86,6 +86,13 @@ class ModelConfig:
     # (measured: stage-3 UNet call 36.8 -> ~? ms, tools/bench_layout.py).
     unet_s2d: bool = False
 
+    # Run the ConditionEncoder at s2d(2) instead of the UNet's factor:
+    # at C=16 the s=4 expanded 3x3 pays ~7x MACs at full lanes while
+    # s=2 pays ~1.8x at half lanes (~2x cheaper overall); one fused
+    # one-hot repr-change conv re-lays the UNet seam (nn/s2d.py
+    # s2d_change). 0 = match the UNet factor.
+    encoder_s2d: int = 0
+
     # Same treatment for the FeatureNet's full/half-res trunk (C=3-16;
     # conv3x3 8ch at full res measured 9.5 -> 1.6 ms in s2d(4)).
     feature_s2d: bool = False

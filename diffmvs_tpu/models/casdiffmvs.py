@@ -99,6 +99,7 @@ class CasDiffMVS(nn.Module):
                 remat=cfg.remat,
                 warp_kernel=cfg.warp_kernel,
                 unet_s2d=cfg.unet_s2d,
+                encoder_s2d=cfg.encoder_s2d,
                 unroll=cfg.unroll_iters,
                 dtype=dt,
                 name=f"update_block{s}"))

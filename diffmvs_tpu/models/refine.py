@@ -53,6 +53,9 @@ class RefineIteration(nn.Module):
     max_radius: float
     warp_kernel: str = "xla"
     unet_s2d: bool = False
+    encoder_s2d: int = 0         # 0 = the UNet factor; 2 = run the
+                                 # condition encoder at s2d(2) + one
+                                 # fused repr-change at the UNet seam
     dtype: Optional[Any] = None
 
     @property
@@ -66,9 +69,12 @@ class RefineIteration(nn.Module):
         # c-major channel order makes concatenation commute with s2d);
         # context arrives pre-s2d'd from RefinementStage (once, outside
         # the iteration scan)
+        enc_s = min(self.encoder_s2d, s0) if self.encoder_s2d else s0
         self.encoder = ConditionEncoder(
             hidden_dim=self.context_dim, out_chs=self.context_dim,
-            s2d=s0, s2d_out=s0 > 1, dtype=self.dtype, name="encoder")
+            s2d=enc_s, s2d_out=s0 > 1,
+            out_factor=s0 if enc_s != s0 else 0,
+            dtype=self.dtype, name="encoder")
         self.unet = DiffusionUNet(
             dim=self.unet_dim, hidden_dim=self.hidden_dim,
             dim_mults=self.dim_mults, s2d=self.unet_s2d, s2d_in=s0 > 1,
@@ -124,6 +130,7 @@ class RefinementStage(nn.Module):
     remat: bool = False
     warp_kernel: str = "xla"
     unet_s2d: bool = False
+    encoder_s2d: int = 0
     unroll: bool = False
     dtype: Optional[Any] = None
 
@@ -160,6 +167,7 @@ class RefinementStage(nn.Module):
             min_radius=self.min_radius, max_radius=self.max_radius,
             warp_kernel=self.warp_kernel,
             unet_s2d=self.unet_s2d,
+            encoder_s2d=self.encoder_s2d,
             dtype=self.dtype, name="cell")
         self.mask = UpsampleMaskHead(self.up_ratio, dtype=self.dtype,
                                      name="mask")

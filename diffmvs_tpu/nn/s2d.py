@@ -115,6 +115,44 @@ def _from_s2d_conv(x, s: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _s2d_change_onehot(s_in: int, s_out: int, c: int):
+    """One-hot [r, r, C*s_in^2, C*s_out^2] kernel (r = s_out // s_in)
+    whose stride-r VALID conv converts the s2d(s_in) repr directly to
+    the s2d(s_out) repr (channel order (c*s+dy)*s+dx both sides)."""
+    r = s_out // s_in
+    k = np.zeros((r, r, c * s_in * s_in, c * s_out * s_out), np.float32)
+    for p in range(r):
+        for q in range(r):
+            for ci in range(c):
+                for dy1 in range(s_in):
+                    for dx1 in range(s_in):
+                        cin = (ci * s_in + dy1) * s_in + dx1
+                        cout = ((ci * s_out + p * s_in + dy1) * s_out
+                                + q * s_in + dx1)
+                        k[p, q, cin, cout] = 1.0
+    return k
+
+
+def s2d_change(x, s_in: int, s_out: int):
+    """Convert an s2d(s_in) repr to the s2d(s_out) repr (s_out a multiple
+    of s_in) — e.g. the ConditionEncoder's s=2 output into the UNet's
+    s2d(4) input. Equals to_s2d(from_s2d(x, s_in), s_out); on TPU it is
+    ONE fused one-hot stride-(s_out/s_in) conv instead of two relayouts
+    (exact in every dtype — single one-hot tap per output element)."""
+    if s_in == s_out:
+        return x
+    assert s_out % s_in == 0, (s_in, s_out)
+    if jax.default_backend() == "tpu":
+        r = s_out // s_in
+        c = x.shape[-1] // (s_in * s_in)
+        k = jnp.asarray(_s2d_change_onehot(s_in, s_out, c), x.dtype)
+        return jax.lax.conv_general_dilated(
+            x, k, (r, r), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return to_s2d(from_s2d(x, s_in), s_out)
+
+
+@functools.lru_cache(maxsize=None)
 def _axis_map(k: int, s_in: int, stride: int, offset: int
               ) -> Tuple[np.ndarray, int]:
     """One-hot placement along one spatial axis.

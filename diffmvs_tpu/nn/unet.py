@@ -34,6 +34,7 @@ from diffmvs_tpu.nn.s2d import (
     prepared,
     repeat_channels,
     run_conv_s2d,
+    s2d_change,
     to_s2d,
     upsample_nearest_s2d,
 )
@@ -435,7 +436,10 @@ class ConditionEncoder(nn.Module):
     hidden_dim: int               # context_dim[s]
     out_chs: int                  # context_dim[s]
     s2d: int = 1
-    s2d_out: bool = False         # emit the s2d(s2d) repr (skip from_s2d)
+    s2d_out: bool = False         # emit an s2d repr (skip from_s2d)
+    out_factor: int = 0           # s2d factor of the emitted repr
+                                  # (0 = same as s2d; else one fused
+                                  # s2d_change at the output)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -464,8 +468,12 @@ class ConditionEncoder(nn.Module):
         d = nn.relu(c3("convd2", self.hidden_dim, d))
         feat = jnp.concatenate([c, d], axis=-1)
         out = nn.relu(c3("output", self.out_chs - 1, feat))
-        if self.s2d_out and s > 1:
+        if self.s2d_out and max(s, self.out_factor) > 1:
             # stay in s2d: c-major concat commutes with the layout, so
             # appending to_s2d(depth) == to_s2d of the pixel concat
-            return jnp.concatenate([out, to_s2d(depth, s)], axis=-1)
+            cat = jnp.concatenate([out, to_s2d(depth, s)], axis=-1)
+            # encoder may run at a smaller factor than the UNet wants
+            # (s=2 halves the expanded convs' MXU waste at C=16); one
+            # fused one-hot conv re-lays the seam
+            return s2d_change(cat, s, self.out_factor or s)
         return jnp.concatenate([from_s2d(out, s), depth], axis=-1)

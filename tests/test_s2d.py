@@ -308,3 +308,53 @@ def test_s2d_bf16_backward(rng):
     gnorm = sum(float(jnp.sum(jnp.square(g.astype(jnp.float32))))
                 for g in jax.tree_util.tree_leaves(grads)) ** 0.5
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_s2d_change(rng):
+    """s2d_change == to_s2d(from_s2d(x, s_in), s_out) — both the generic
+    composition and the fused one-hot conv path (bit-exact)."""
+    from diffmvs_tpu.nn.s2d import _s2d_change_onehot, s2d_change
+
+    x = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    for s_in, s_out in ((1, 2), (1, 4), (2, 4), (2, 8), (4, 4)):
+        rep = to_s2d(x, s_in)
+        want = to_s2d(from_s2d(rep, s_in), s_out)
+        got = s2d_change(rep, s_in, s_out)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        if s_out > s_in:
+            # the TPU branch explicitly (backend-independent math)
+            r = s_out // s_in
+            c = rep.shape[-1] // (s_in * s_in)
+            k = jnp.asarray(_s2d_change_onehot(s_in, s_out, c), rep.dtype)
+            conv = jax.lax.conv_general_dilated(
+                rep, k, (r, r), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            np.testing.assert_array_equal(np.asarray(conv),
+                                          np.asarray(want))
+
+
+def test_condition_encoder_s2d2_matches_s4(rng):
+    """ConditionEncoder at s2d=2 + fused repr-change to 4 == the s2d=4
+    encoder: same parameter tree, same math (modulo f32 reassociation
+    in the differently-expanded convs)."""
+    from diffmvs_tpu.nn.unet import ConditionEncoder
+
+    b, h, w, g, cn = 1, 16, 24, 4, 4
+    depth = jnp.asarray(rng.rand(b, h, w, 1).astype(np.float32))
+    dvals = jnp.asarray(rng.rand(b, h, w, cn).astype(np.float32))
+    cost = jnp.asarray(rng.rand(b, h, w, g * cn).astype(np.float32))
+
+    enc4 = ConditionEncoder(hidden_dim=16, out_chs=16, s2d=4, s2d_out=True)
+    enc2 = ConditionEncoder(hidden_dim=16, out_chs=16, s2d=2, s2d_out=True,
+                            out_factor=4)
+    v4 = enc4.init(jax.random.PRNGKey(0), depth, dvals, cost)
+    v2 = enc2.init(jax.random.PRNGKey(0), depth, dvals, cost)
+    assert jax.tree_util.tree_structure(v4) == \
+        jax.tree_util.tree_structure(v2)
+    chex = jax.tree_util.tree_map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), v4["params"], v2["params"])
+    del chex
+    out4 = np.asarray(enc4.apply(v4, depth, dvals, cost))
+    out2 = np.asarray(enc2.apply(v4, depth, dvals, cost))
+    assert out4.shape == out2.shape
+    np.testing.assert_allclose(out2, out4, rtol=2e-5, atol=2e-5)
