@@ -136,14 +136,21 @@ class Conv7x7RowSum(nn.Module):
                 kernel, bias, self.s, dtype=dtype))
             return run_conv_s2d(x, wex, bex, self.s, dtype=dtype)
         h = x.shape[1]
-        xp = jnp.pad(x, ((0, 0), (3, 3), (0, 0), (0, 0))).astype(dtype)
+        # round operands to the compute dtype, then run the conv in f32:
+        # every bf16 product is exact in f32, so this is bit-identical to
+        # a bf16-operand conv with preferred_element_type=f32 — and
+        # unlike preferred_element_type, its transpose (VJP) is
+        # well-typed (an f32 cotangent against a bf16 kernel fails conv
+        # dtype checks in the backward pass)
+        xp = (jnp.pad(x, ((0, 0), (3, 3), (0, 0), (0, 0)))
+              .astype(dtype).astype(jnp.float32))
         y = None
         for dy in range(7):
             part = jax.lax.conv_general_dilated(
-                xp[:, dy:dy + h], kernel[dy:dy + 1].astype(dtype),
+                xp[:, dy:dy + h],
+                kernel[dy:dy + 1].astype(dtype).astype(jnp.float32),
                 (1, 1), ((0, 0), (3, 3)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = part if y is None else y + part
         return (y + bias).astype(dtype)
 

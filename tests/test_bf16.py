@@ -44,3 +44,44 @@ def test_bf16_eval_close_to_f32():
         # the soft-argmax visibly; bound the drift loosely (range is [4,10]).
         # Real bf16 quality is a trained-weights question (BASELINE.md).
         assert np.abs(a - b).mean() < 1.0
+
+
+def test_conv7x7_rowsum_bf16_grad():
+    """The bf16 row-sum init conv must be differentiable (its f32-partial
+    accumulation previously broke the conv transpose: f32 cotangent vs
+    bf16 kernel) and match the direct 7x7's gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from diffmvs_tpu.nn.unet import Conv7x7RowSum
+    from diffmvs_tpu.nn.layers import torch_kernel_init, torch_bias_init
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 12, 16, 4).astype(np.float32))
+
+    mod = Conv7x7RowSum(6, dtype=jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, x):
+        return jnp.sum(mod.apply(v, x).astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))(v, x)   # must not raise
+
+    class Direct(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(6, (7, 7), padding=((3, 3), (3, 3)),
+                           kernel_init=torch_kernel_init,
+                           bias_init=torch_bias_init(4 * 49),
+                           dtype=jnp.bfloat16, name="d")(x)
+
+    dm = Direct()
+    vd = {"params": {"d": v["params"]}}
+
+    def loss_d(vd, x):
+        return jnp.sum(dm.apply(vd, x).astype(jnp.float32) ** 2)
+
+    gd = jax.jit(jax.grad(loss_d, argnums=1))(vd, x)
+    np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gd),
+                               rtol=0.1, atol=0.1)   # bf16 grads
