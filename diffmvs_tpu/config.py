@@ -79,6 +79,13 @@ class ModelConfig:
     # (cli/test.py, api.DepthRunner, bench.py) select the fast path.
     warp_kernel: str = "xla"
 
+    # Backward mode of the Pallas warp kernel's custom_vjp:
+    # "recompute" re-runs the exact XLA warp+corr under jax.vjp;
+    # "analytic" emits the cotangents directly (one gather + one
+    # scatter, ops/correlation.py:warp_corr_backward). Identical
+    # gradients (tests/test_gradients.py); speed is hardware-measured.
+    warp_bwd: str = "recompute"
+
     # Run the refinement UNet + condition encoder in space-to-depth
     # layout (nn/s2d.py): identical math and parameters, but the
     # C=8-32 convs/norms/elementwise use all 128 TPU lanes instead of

@@ -67,7 +67,8 @@ class CasDiffMVS(nn.Module):
         self.context = ContextNet(out_dim=cfg.ctx_out_dim, dtype=dt)
         self.depthnet = InitialStage(
             group_dim=cfg.cost_dim_stage[0], up_ratio=2,
-            warp_kernel=cfg.warp_kernel, stage1_s2d=cfg.stage1_s2d,
+            warp_kernel=cfg.warp_kernel, warp_bwd=cfg.warp_bwd,
+            stage1_s2d=cfg.stage1_s2d,
             dtype=dt)
 
         hidden_inits, stages = [], []
@@ -98,6 +99,7 @@ class CasDiffMVS(nn.Module):
                 max_radius=cfg.max_radius,
                 remat=cfg.remat,
                 warp_kernel=cfg.warp_kernel,
+                warp_bwd=cfg.warp_bwd,
                 unet_s2d=cfg.unet_s2d,
                 encoder_s2d=cfg.encoder_s2d,
                 unroll=cfg.unroll_iters,

@@ -52,6 +52,7 @@ class RefineIteration(nn.Module):
     min_radius: float
     max_radius: float
     warp_kernel: str = "xla"
+    warp_bwd: str = "recompute"
     unet_s2d: bool = False
     encoder_s2d: int = 0         # 0 = the UNet factor; 2 = run the
                                  # condition encoder at s2d(2) + one
@@ -94,7 +95,8 @@ class RefineIteration(nn.Module):
             depth_min, depth_max, self.cost_num, self.group_dim,
             view_weights, confidence=confidence,
             min_radius=self.min_radius, max_radius=self.max_radius,
-            use_confidence=has_conf, warp_kernel=self.warp_kernel)
+            use_confidence=has_conf, warp_kernel=self.warp_kernel,
+            warp_bwd=self.warp_bwd)
         input_features = self.encoder(
             inv_new[..., None], samples.transpose(0, 2, 3, 1), cost)
         input_unet = jnp.concatenate([context, input_features], axis=-1)
@@ -129,6 +131,7 @@ class RefinementStage(nn.Module):
     max_radius: float = 2.0
     remat: bool = False
     warp_kernel: str = "xla"
+    warp_bwd: str = "recompute"
     unet_s2d: bool = False
     encoder_s2d: int = 0
     unroll: bool = False
@@ -166,6 +169,7 @@ class RefinementStage(nn.Module):
             depth_interval=self.depth_interval,
             min_radius=self.min_radius, max_radius=self.max_radius,
             warp_kernel=self.warp_kernel,
+            warp_bwd=self.warp_bwd,
             unet_s2d=self.unet_s2d,
             encoder_s2d=self.encoder_s2d,
             dtype=self.dtype, name="cell")

@@ -55,6 +55,7 @@ class InitialStage(nn.Module):
     group_dim: int = 8           # correlation groups (cost_dim_stage[0])
     up_ratio: int = 2
     warp_kernel: str = "xla"
+    warp_bwd: str = "recompute"
     stage1_s2d: bool = False     # s2d layout for PixelViewWeight
     dtype: Optional[Any] = None
 
@@ -90,7 +91,8 @@ class InitialStage(nn.Module):
                 cor = warp_corr_pallas(
                     src_fea, ref_fea, proj_pairs[:, i + 1],
                     proj_pairs[:, 0], depth_values, self.group_dim,
-                    window_group=8).astype(ref_fea.dtype)
+                    window_group=8,
+                    bwd=self.warp_bwd).astype(ref_fea.dtype)
             else:
                 cor = warp_and_correlate(
                     src_fea, ref_fea, proj_pairs[:, i + 1],
@@ -116,7 +118,8 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
                       depth_min, depth_max, cost_num, group_dim,
                       view_weights, confidence=None,
                       min_radius=0.2, max_radius=2.0, use_confidence=None,
-                      warp_kernel: str = "xla"):
+                      warp_kernel: str = "xla",
+                      warp_bwd: str = "recompute"):
     """Per-iteration local cost volume around the current inverse depth.
 
     Parity: GetCost (module.py:575-667) — sample cost_num hypotheses
@@ -160,7 +163,7 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
             # inside (_warp_corr_impl)
             cor = warp_corr_pallas(
                 src_fea, ref_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
-                depth_hyp, group_dim)
+                depth_hyp, group_dim, bwd=warp_bwd)
             cor_list.append(cor.astype(ref_fea.dtype))
     else:
         for i, src_fea in enumerate(features[1:]):

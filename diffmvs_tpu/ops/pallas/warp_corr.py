@@ -529,7 +529,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      band: int = BAND_ROWS, packed=None, skip: str = "",
                      batch_rows: bool = True, win_w: int = 0,
                      tile: int = 0, chunk_cap: int = 4096,
-                     batch_glue: bool = True,
+                     batch_glue: bool = True, bwd: str = "recompute",
                      interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
@@ -578,14 +578,25 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
         return run(src, ref, sp, rp, dv), (src, ref, sp, rp, dv)
 
     def run_bwd(res, g):
-        from diffmvs_tpu.ops.correlation import warp_and_correlate
-
         src, ref, sp, rp, dv = res
-        _, vjp = jax.vjp(
-            lambda s, r: warp_and_correlate(
-                s, r, sp, rp, dv, groups).astype(jnp.float32),
-            src, ref)
-        ds, dr = vjp(g.astype(jnp.float32))
+        if bwd == "analytic":
+            # direct cotangents (one gather + one scatter): skips the
+            # correlation-forward recompute of the vjp path and exposes
+            # the gather as a future Pallas-kernel seam
+            from diffmvs_tpu.ops.correlation import warp_corr_backward
+
+            ds, dr = warp_corr_backward(src, ref, sp, rp, dv,
+                                        g.astype(jnp.float32), groups)
+            ds = ds.astype(src.dtype)
+            dr = dr.astype(ref.dtype)
+        else:
+            from diffmvs_tpu.ops.correlation import warp_and_correlate
+
+            _, vjp = jax.vjp(
+                lambda s, r: warp_and_correlate(
+                    s, r, sp, rp, dv, groups).astype(jnp.float32),
+                src, ref)
+            ds, dr = vjp(g.astype(jnp.float32))
         return (ds, dr, jnp.zeros_like(sp), jnp.zeros_like(rp),
                 jnp.zeros_like(dv))
 

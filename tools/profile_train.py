@@ -61,11 +61,14 @@ def main(kernels):
     print(f"# fetch floor {floor * 1000:.1f} ms", file=sys.stderr)
 
     for kern in kernels:
+        kern, _, bwd = kern.partition(":")      # e.g. "fast:analytic"
         cfg_m = dataclasses.replace(
             CASDIFFMVS, numdepth_initial=nd_init, numdepth=nd,
             compute_dtype="bfloat16", remat=True)
         cfg_m = (tpu_optimized(cfg_m) if kern == "fast"
                  else dataclasses.replace(cfg_m, warp_kernel=kern))
+        if bwd:
+            cfg_m = dataclasses.replace(cfg_m, warp_bwd=bwd)
         cfg = TrainConfig(model=cfg_m, batch_size=b)
         model = CasDiffMVS(cfg_m)
 
