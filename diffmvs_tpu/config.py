@@ -81,9 +81,12 @@ class ModelConfig:
 
     # Backward mode of the Pallas warp kernel's custom_vjp:
     # "recompute" re-runs the exact XLA warp+corr under jax.vjp;
-    # "analytic" emits the cotangents directly (one gather + one
-    # scatter, ops/correlation.py:warp_corr_backward). Identical
-    # gradients (tests/test_gradients.py); speed is hardware-measured.
+    # "analytic" emits the cotangents directly in XLA (one gather + one
+    # scatter, ops/correlation.py:warp_corr_backward); "pallas" runs the
+    # banded Pallas backward kernel (gather for d_ref + MXU one-hot-
+    # matmul scatter for d_src, ops/pallas/warp_corr_bwd.py). All three
+    # produce identical gradients on guard-clean geometries
+    # (tests/test_gradients.py); speed is hardware-measured.
     warp_bwd: str = "recompute"
 
     # Run the refinement UNet + condition encoder in space-to-depth

@@ -579,6 +579,21 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
 
     def run_bwd(res, g):
         src, ref, sp, rp, dv = res
+        if bwd == "pallas":
+            # banded Pallas backward (gather for d_ref + MXU one-hot-
+            # matmul scatter for d_src — warp_corr_bwd.py). Gradient OF
+            # THE BANDED FORWARD: missed samples get zero cotangents,
+            # exactly matching what this kernel's forward computed.
+            from diffmvs_tpu.ops.pallas.warp_corr_bwd import (
+                warp_corr_backward_pallas)
+
+            ds, dr = warp_corr_backward_pallas(
+                src, ref, sp, rp, dv, g.astype(jnp.float32), groups,
+                window_group=window_group, win_k=win_k, rows=rows,
+                band=band, interpret=interpret)
+            return (ds.astype(src.dtype), dr.astype(ref.dtype),
+                    jnp.zeros_like(sp), jnp.zeros_like(rp),
+                    jnp.zeros_like(dv))
         if bwd == "analytic":
             # direct cotangents (one gather + one scatter): skips the
             # correlation-forward recompute of the vjp path and exposes

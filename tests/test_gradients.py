@@ -8,6 +8,7 @@ The reference's training relies on specific stop-gradient seams:
 """
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -252,6 +253,63 @@ def test_warp_corr_pallas_gradient_parity(rng=None):
     for ga, gx in zip(grads_a, grads_x[:2]):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gx),
                                    rtol=1e-5, atol=1e-5)
+
+    # the banded Pallas backward KERNEL (warp_corr_bwd.py) must agree
+    # too — this fixture is guard-clean (miss fraction 0), where the
+    # banded gradient equals the XLA gradient exactly
+    def loss_pk(s, r, a, b, dd):
+        return jnp.sum(warp_corr_pallas(s, r, a, b, dd, 4, bwd="pallas",
+                                        interpret=True) * g)
+
+    grads_k = jax.jit(jax.grad(loss_pk, argnums=(0, 1)))(
+        src, ref, sp, rp, depths)
+    for gk, gx in zip(grads_k, grads_x[:2]):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_warp_corr_backward_pallas_grouped_windows(rng=None):
+    """The Pallas backward kernel on sweep geometry: grouped windows
+    (wg=8), depth not divisible by wg (padding planes must contribute
+    zero), batch 2, odd h/w — vs jax.vjp of the XLA path (the fixture
+    measures miss fraction 0, so banded == XLA gradients)."""
+    rng = np.random.RandomState(11)
+    import sys
+    from helpers import make_cams, stage_projs
+
+    from diffmvs_tpu.ops.correlation import warp_and_correlate
+    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_miss_fraction
+    from diffmvs_tpu.ops.pallas.warp_corr_bwd import (
+        warp_corr_backward_pallas)
+
+    hs, ws, c, d, G, wg, n = 50, 70, 48, 12, 8, 8, 2
+    cams = stage_projs(make_cams(2, hs * 2, ws * 2))["stage3"]
+    rp = jnp.asarray(np.stack([cams[0]] * n))
+    sp = jnp.asarray(np.stack([cams[1]] * n))
+    src = jnp.asarray(rng.randn(n, hs, ws, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(n, hs, ws, c).astype(np.float32))
+    base = 6.0 + 0.5 * rng.rand(n, 1, hs, ws).astype(np.float32)
+    offs = np.arange(d, dtype=np.float32) * 0.01
+    depths = jnp.asarray(base + offs.reshape(1, d, 1, 1))
+    g = jnp.asarray(rng.randn(n, d, hs, ws, G).astype(np.float32))
+
+    assert float(warp_corr_miss_fraction(
+        src, sp, rp, depths, window_group=wg)) == 0.0
+
+    f = lambda s_, r_: warp_and_correlate(
+        s_, r_, sp, rp, depths, G).astype(jnp.float32)
+    _, vjp = jax.vjp(f, src, ref)
+    want_ds, want_dr = vjp(g)
+    got_ds, got_dr = jax.jit(functools.partial(
+        warp_corr_backward_pallas, groups=G, window_group=wg,
+        interpret=True))(src, ref, sp, rp, depths, g)
+    # 1e-4: under jit, XLA's fma contraction of the projection math
+    # shifts bilinear fractions by ~1 ulp for samples near pixel
+    # boundaries (measured worst |err| 2.2e-5 vs 7e-7 un-jitted)
+    np.testing.assert_allclose(np.asarray(got_dr), np.asarray(want_dr),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_ds), np.asarray(want_ds),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_warp_corr_backward_out_of_bounds(rng=None):
