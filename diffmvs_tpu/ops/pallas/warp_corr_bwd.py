@@ -60,8 +60,8 @@ from diffmvs_tpu.ops.pallas.warp_corr import (
 
 def _bwd_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
                 rstart_ref,    # scalar prefetch [T, N*HB, DP*ROWS]
-                xf_ref, yf_ref,  # [1, DP, ROWS, TILE] float sample coords
-                g_ref,         # [1, DP, ROWS, G, TILE] output cotangent
+                xf_ref, yf_ref,  # [1, 1, WG, ROWS, TILE] float sample coords
+                g_ref,         # [1, 1, WG, ROWS, G, TILE] output cotangent
                 ref_ref,       # [1, ROWS, C, TILE]
                 src_hbm,       # ANY [N, (Hs+2)*C, ws_pad]
                 dref_ref,      # out [1, ROWS, C, TILE] (resident over nw)
@@ -80,7 +80,7 @@ def _bwd_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
     step = (nhb * num_t + t) * nw + wi          # == global window index
     total_windows = pl.num_programs(0) * num_hb * num_t * nw
 
-    _, dp, rows, g_total, tile = g_ref.shape
+    _, _, _, rows, g_total, tile = g_ref.shape
     c = ref_ref.shape[2]
     cg = c // g_total
     kc = win_k * c
@@ -127,11 +127,12 @@ def _bwd_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
     nblk = rows                                  # one depth plane at a time
 
     for i in range(wg):
-        # depth plane wi*wg + i of the padded arrays (padded planes carry
-        # g == 0, so they contribute nothing to either cotangent)
-        dslot = wi * wg + i
-        xf = xf_ref[0, dslot].astype(jnp.float32)        # [rows, tile]
-        yf = yf_ref[0, dslot].astype(jnp.float32)
+        # depth plane i of THIS window's operand blocks (= global plane
+        # wi*wg + i; padded planes carry g == 0, so they contribute
+        # nothing to either cotangent)
+        dslot = wi * wg + i                              # rstart index
+        xf = xf_ref[0, 0, i].astype(jnp.float32)         # [rows, tile]
+        yf = yf_ref[0, 0, i].astype(jnp.float32)
         x0 = jnp.floor(xf)
         y0 = jnp.floor(yf)
         fx = xf - x0
@@ -184,7 +185,7 @@ def _bwd_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
         warped = s0 + (s1 - s0) * fx[:, None, :]
         warped = warped * valid[:, None, :].astype(jnp.float32)
 
-        gplane = g_ref[0, dslot].astype(jnp.float32)     # [rows, G, tile]
+        gplane = g_ref[0, 0, i].astype(jnp.float32)      # [rows, G, tile]
         gexp = jnp.broadcast_to(
             gplane[:, :, None, :],
             (rows, g_total, cg, tile)).reshape(rows, c, tile) * (1.0 / cg)
@@ -266,31 +267,33 @@ def warp_corr_backward_pallas(src_fea, ref_fea, src_pair, ref_pair,
              .reshape(n * hb * t_tiles, rows, c, tile))
 
     def tile_view(a):
+        # per-WINDOW depth blocking: only the active window's wg planes
+        # are resident in VMEM (sweep shapes: 1/nw of the naive block)
         a = _pad_to(pad_hw(a), dp, axis=1)       # pad depth to nw*wg
         return (a.reshape(n, dp, hb, rows, t_tiles, tile)
                 .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(n * hb * t_tiles, dp, rows, tile)
+                .reshape(n * hb * t_tiles, nw, wg, rows, tile)
                 .astype(jnp.float32))
 
-    # g tiles: [N, D, H, W, G] -> [N*HB*T, DP, ROWS, G, TILE], depth-padded
-    # with ZEROS (padded planes then contribute nothing in-kernel)
+    # g tiles: [N, D, H, W, G] -> [N*HB*T, NW, WG, ROWS, G, TILE], depth-
+    # padded with ZEROS (padded planes then contribute nothing in-kernel)
     gt = _pad_to(_pad_to(_pad_to(g.astype(jnp.float32), w_pad, axis=3),
                          h_pad, axis=2), dp, axis=1)
     gt = (gt.reshape(n, dp, hb, rows, t_tiles, tile, groups)
           .transpose(0, 2, 4, 1, 3, 6, 5)
-          .reshape(n * hb * t_tiles, dp, rows, groups, tile))
+          .reshape(n * hb * t_tiles, nw, wg, rows, groups, tile))
 
     # rstarts [D, rows, T, N*HB] -> depth-pad -> [T, N*HB, DP*rows]
     rstarts = _pad_to(rstarts, dp, axis=0)
     rstarts = rstarts.transpose(2, 3, 0, 1).reshape(t_tiles, -1, dp * rows)
 
-    spec = pl.BlockSpec((1, dp, rows, tile),
+    spec = pl.BlockSpec((1, 1, wg, rows, tile),
                         lambda nn, hh, tt, ww, *_:
-                        ((nn * hb + hh) * t_tiles + tt, 0, 0, 0),
+                        ((nn * hb + hh) * t_tiles + tt, ww, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, dp, rows, groups, tile),
+    g_spec = pl.BlockSpec((1, 1, wg, rows, groups, tile),
                           lambda nn, hh, tt, ww, *_:
-                          ((nn * hb + hh) * t_tiles + tt, 0, 0, 0, 0),
+                          ((nn * hb + hh) * t_tiles + tt, ww, 0, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     ref_spec = pl.BlockSpec((1, rows, c, tile),
                             lambda nn, hh, tt, ww, *_:
