@@ -80,10 +80,12 @@ def bench_io(workers: int):
         }))
 
 
-def bench_train():
+def bench_train(bwd: str = ""):
     """Jitted train-step throughput at the reference's training shape
     (DTU 640x512, B=4, N=5 — train.py:179-231). Prints its own JSON
-    line; tracked so kernel work cannot regress training silently."""
+    line; tracked so kernel work cannot regress training silently.
+    bwd: override the warp kernel's backward mode
+    ("recompute"|"analytic"|"pallas", config.ModelConfig.warp_bwd)."""
     import dataclasses
 
     import jax
@@ -112,6 +114,8 @@ def bench_train():
     model_cfg = tpu_optimized(dataclasses.replace(
         CASDIFFMVS, numdepth_initial=nd_init, numdepth=nd,
         compute_dtype="bfloat16", remat=True))
+    if bwd:
+        model_cfg = dataclasses.replace(model_cfg, warp_bwd=bwd)
     cfg = TrainConfig(model=model_cfg, batch_size=b)
     model = CasDiffMVS(model_cfg)
 
@@ -153,7 +157,8 @@ def bench_train():
     per_step = max(time.perf_counter() - t0 - floor, 1e-9) / reps
     value = b / per_step
     print(json.dumps({
-        "metric": "casdiffmvs_train_dtu640x512_n5_throughput",
+        "metric": "casdiffmvs_train_dtu640x512_n5_throughput"
+                  + (f"_bwd_{bwd}" if bwd else ""),
         "value": round(value, 4),
         "unit": "samples/s/chip",
         "sec_per_step": round(per_step, 4),
@@ -325,6 +330,9 @@ if __name__ == "__main__":
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument("--train", action="store_true",
                         help="train-step throughput instead")
+    parser.add_argument("--bwd", default="",
+                        help="warp-kernel backward mode for --train "
+                             "(recompute|analytic|pallas)")
     parser.add_argument("--batch", type=int, default=0,
                         help="override view-set batch size (default 4)")
     parser.add_argument("--check", action="store_true",
@@ -337,12 +345,12 @@ if __name__ == "__main__":
     if a.all:
         check_kernel_parity()
         main(a.batch)
-        bench_train()
+        bench_train(a.bwd)
         bench_io(a.workers)
     elif a.io:
         bench_io(a.workers)
     elif a.train:
-        bench_train()
+        bench_train(a.bwd)
     else:
         if a.check:
             check_kernel_parity()
