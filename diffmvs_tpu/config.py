@@ -107,6 +107,12 @@ class ModelConfig:
     # conv3x3 8ch at full res measured 9.5 -> 1.6 ms in s2d(4)).
     feature_s2d: bool = False
 
+    # Phase-optimized feature trunk (inference-only; needs feature_s2d):
+    # off-center window alignments + trimmed expanded kernels run the
+    # trunk's 3x3s (and the first 5x5/2) at 2.25x fewer MXU MACs for
+    # bit-identical math (nn/feature.py FeatureNet.phase_opt).
+    feature_phase_opt: bool = False
+
     # ...and for the stage-1 PixelViewWeight 3D convs (G=8 lanes).
     stage1_s2d: bool = False
 

@@ -63,6 +63,7 @@ class CasDiffMVS(nn.Module):
         self.feature = FeatureNet(
             base_channels=cfg.base_channels,
             out_channels=cfg.feat_dim_stage, s2d=cfg.feature_s2d,
+            phase_opt=cfg.feature_phase_opt,
             dtype=dt)
         self.context = ContextNet(out_dim=cfg.ctx_out_dim, dtype=dt)
         self.depthnet = InitialStage(

@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Tuple
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from diffmvs_tpu.nn.layers import (
@@ -31,19 +32,29 @@ from diffmvs_tpu.nn.s2d import (
     from_s2d,
     to_s2d,
     upsample_nearest_s2d,
+    zero_px_border_s2d,
 )
 from diffmvs_tpu.ops.resize import upsample_nearest
 
 
 class ConvBnActS2D(nn.Module):
     """ConvBnAct executing on an s2d(s) input; emits the s2d(s//strides)
-    repr. Param tree matches ConvBnAct ("conv" + "bn")."""
+    repr. Param tree matches ConvBnAct ("conv" + "bn").
+
+    min_span/offset/clip: phase-optimized mode (FeatureNet.phase_opt) —
+    the conv runs off-center with a trimmed (smaller) expanded kernel,
+    and `clip` zeroes the stored pixel border (top, bottom, left, right)
+    AFTER bn+relu so out-of-image positions stay exactly zero, matching
+    the centered chain's padding semantics."""
 
     features: int
     kernel_size: int = 3
     strides: int = 1
     s: int = 1
     dtype: Optional[Any] = None
+    min_span: bool = False
+    offset: int = 0
+    clip: Tuple[int, int, int, int] = (0, 0, 0, 0)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -53,25 +64,62 @@ class ConvBnActS2D(nn.Module):
             self.features, (k, k), s=self.s, stride=self.strides,
             use_bias=False, kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(cin * k * k),
+            min_span=self.min_span, offset=self.offset,
             dtype=self.dtype, name="conv")(x)
-        x = BatchNormS2D(s=self.s // self.strides,
+        so = self.s // self.strides
+        x = BatchNormS2D(s=so,
                          use_running_average=not train,
                          momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn")(x)
-        return nn.relu(x)
+        x = nn.relu(x)
+        if any(self.clip):
+            x = zero_px_border_s2d(x, so, *self.clip)
+        return x
 
 
 class FeatureNet(nn.Module):
     base_channels: int = 8
     out_channels: Tuple[int, int, int] = (48, 32, 16)  # stage1..3; [2]==0 for DiffMVS
     s2d: bool = False
+    # phase_opt (inference-only, needs s2d): run the trunk's stride-1
+    # 3x3s and the first 5x5/2 at window alignment offset=0 with trimmed
+    # expanded kernels — 2x2 instead of 3x3 on the s2d grid, 2.25x fewer
+    # MXU MACs for identical math. The off-center windows shift the
+    # stored maps; an 8 px top-left pre-pad + per-conv border masks +
+    # one block crop restore exact centered-conv semantics (the shift
+    # telescopes to 0 at c1). Falls back to the plain s2d trunk in
+    # train mode (BN batch stats would see the pad rows).
+    phase_opt: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         bc, dt = self.base_channels, self.dtype
 
-        if self.s2d:
+        if self.s2d and self.phase_opt and not train:
+            def cba(name, feats, k, stride, s, offset, clip):
+                return ConvBnActS2D(feats, k, stride, s=s, dtype=dt,
+                                    min_span=True, offset=offset,
+                                    clip=clip, name=name)
+            h2, w2 = x.shape[1] // 2, x.shape[2] // 2
+            xp = jnp.pad(x.astype(dt) if dt is not None else x,
+                         ((0, 0), (8, 0), (8, 0), (0, 0)))
+            xs = to_s2d(xp, 4)                           # delta = -8
+            c0 = cba("conv0_0", bc, 3, 1, 4, 0, (7, 1, 7, 1))(xs, train)
+            c0 = cba("conv0_1", bc, 3, 1, 4, 0, (6, 2, 6, 2))(c0, train)
+            c1 = cba("conv1_0", bc * 2, 5, 2, 4, 0,
+                     (2, 2, 2, 2))(c0, train)            # delta = -2
+            c1 = cba("conv1_1", bc * 2, 3, 1, 2, 0, (1, 3, 1, 3))(c1, train)
+            c1 = cba("conv1_2", bc * 2, 3, 1, 2, 0,
+                     (0, 0, 0, 0))(c1, train)            # delta = 0
+            c1 = c1[:, :h2 // 2, :w2 // 2]               # drop pad leftover
+            c2 = ConvBnActS2D(bc * 4, 5, 2, s=2, dtype=dt,
+                              name="conv2_0")(c1, train)
+            c2 = ConvBnAct(bc * 4, 3, 1, 1, dtype=dt,
+                           name="conv2_1")(c2, train)
+            c2 = ConvBnAct(bc * 4, 3, 1, 1, dtype=dt,
+                           name="conv2_2")(c2, train)
+        elif self.s2d:
             def cba(name, feats, k, stride, s):
                 return ConvBnActS2D(feats, k, stride, s=s, dtype=dt,
                                     name=name)

@@ -200,6 +200,132 @@ def expand_kernel(w, s_in: int, stride: int = 1,
     return wex.reshape(k2h, k2w, s_in * s_in * cin, so * so * cout)
 
 
+@functools.lru_cache(maxsize=None)
+def _axis_map_min(k: int, s_in: int, stride: int, offset: int
+                  ) -> Tuple[np.ndarray, int]:
+    """_axis_map trimmed to its nonzero d-range: (S [DK,...], d_min).
+
+    The symmetric map materializes 2*r+1 planes; off-center offsets
+    (e.g. 0 or 2 for k=3) put all placements in 2 consecutive planes —
+    trimming turns the s2d(4) 3x3 expansion from a dense 3x3 into a
+    dense 2x2 (2.25x fewer MXU MACs for the same math)."""
+    s_mat, r = _axis_map(k, s_in, stride, offset)
+    nz = [d for d in range(s_mat.shape[0]) if s_mat[d].any()]
+    lo, hi = min(nz), max(nz)
+    return s_mat[lo:hi + 1], lo - r
+
+
+def _min_pads(k: int, s_in: int, stride: int, offset: int
+              ) -> Tuple[int, int]:
+    """Asymmetric conv padding (lo, hi) for the trimmed expansion: the
+    output s2d pixel j reads input pixels j+d, d in [d_min, d_max]."""
+    sm, d_min = _axis_map_min(k, s_in, stride, offset)
+    return -d_min, d_min + sm.shape[0] - 1
+
+
+def expand_kernel_min(w, s_in: int, stride: int = 1, offset: int = 0):
+    """Minimal-span variant of expand_kernel (same channel order); the
+    matching asymmetric pads come from _min_pads(k, s_in, stride,
+    offset) — static ints, recomputed at run time so the prepared
+    (wex, bex) cache stays a pure array pair."""
+    kh, kw, cin, cout = w.shape
+    sh, _ = _axis_map_min(kh, s_in, stride, offset)
+    sw, _ = _axis_map_min(kw, s_in, stride, offset)
+    so = s_in // stride
+    wex = jnp.einsum("xpqa,yrtb,abio->xyiproqt",
+                     jnp.asarray(sh, w.dtype), jnp.asarray(sw, w.dtype), w)
+    return wex.reshape(sh.shape[0], sw.shape[0],
+                       s_in * s_in * cin, so * so * cout)
+
+
+def prep_conv_s2d_min(w, bias, s: int, stride: int = 1, offset: int = 0,
+                      dtype=None):
+    """prep_conv_s2d with the minimal-span (offset-phased) expansion."""
+    so = s // stride
+    wex = expand_kernel_min(w, s, stride, offset)
+    if dtype is not None:
+        wex = wex.astype(dtype)
+    bex = None if bias is None else jnp.repeat(bias, so * so)
+    return wex, bex
+
+
+def run_conv_s2d_min(x, wex, bex, k: int, s: int, stride: int = 1,
+                     offset: int = 0, dtype=None):
+    """Execute a minimal-span s2d conv (kernel from prep_conv_s2d_min).
+
+    Semantics: the ORIGINAL conv with window alignment `offset`
+    (output O reads input O*stride - offset + kappa) — an off-center
+    offset SHIFTS the output by (k//2 - offset)/stride original pixels
+    relative to the centered conv. Callers track the shift and restore
+    it with pre-padding/crops (see nn/feature.py phase_opt)."""
+    dtype = dtype or x.dtype
+    ph = _min_pads(k, s, stride, offset)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), wex.astype(dtype), (1, 1), (ph, ph),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bex is not None:
+        y = y + bex.astype(y.dtype)
+    return y.astype(dtype)
+
+
+def zero_px_border_s2d(y, s: int, top: int = 0, bottom: int = 0,
+                       left: int = 0, right: int = 0):
+    """Zero the first/last stored PIXEL rows/cols of an s2d(s) repr.
+
+    Used by phase-optimized conv chains to reproduce the centered
+    chain's intermediate-clipping semantics exactly: after each
+    off-center conv, the stored pixels whose TRUE coordinates fall
+    outside the unpadded image are zeroed, so the next conv reads the
+    same zeros the reference's padding provides. Touches only the
+    affected block rows/cols (dynamic_update_slice of <= ceil(n/s)
+    blocks), not the whole tensor."""
+    b, hb, wb, cc = y.shape
+    c = cc // (s * s)
+
+    def row_mask(npx, blocks, from_top):
+        # mask[bi, channel] over the affected block rows; channel order
+        # (ci*s + dy)*s + dx — row masks depend only on dy
+        m = np.ones((blocks, s), np.float32)
+        for bi in range(blocks):
+            for dy in range(s):
+                px = bi * s + dy
+                if from_top:
+                    m[bi, dy] = 0.0 if px < npx else 1.0
+                else:
+                    # bi counts from the LAST block upward
+                    px_from_end = (blocks - 1 - bi) * s + (s - 1 - dy)
+                    m[bi, dy] = 0.0 if px_from_end < npx else 1.0
+        return m
+
+    if top:
+        nb = -(-top // s)
+        m = row_mask(top, nb, True)
+        mc = np.tile(np.repeat(m, s, axis=1), (1, c))       # [nb, C*s*s]
+        seg = y[:, :nb] * jnp.asarray(mc, y.dtype)[None, :, None, :]
+        y = jax.lax.dynamic_update_slice(y, seg, (0, 0, 0, 0))
+    if bottom:
+        nb = -(-bottom // s)
+        m = row_mask(bottom, nb, False)
+        mc = np.tile(np.repeat(m, s, axis=1), (1, c))
+        seg = y[:, hb - nb:] * jnp.asarray(mc, y.dtype)[None, :, None, :]
+        y = jax.lax.dynamic_update_slice(y, seg, (0, hb - nb, 0, 0))
+    if left:
+        nb = -(-left // s)
+        m = row_mask(left, nb, True)
+        mc = np.concatenate([np.tile(m[i], c * s)[None]
+                             for i in range(nb)])           # dx pattern
+        seg = y[:, :, :nb] * jnp.asarray(mc, y.dtype)[None, None, :, :]
+        y = jax.lax.dynamic_update_slice(y, seg, (0, 0, 0, 0))
+    if right:
+        nb = -(-right // s)
+        m = row_mask(right, nb, False)
+        mc = np.concatenate([np.tile(m[i], c * s)[None]
+                             for i in range(nb)])
+        seg = y[:, :, wb - nb:] * jnp.asarray(mc, y.dtype)[None, None, :, :]
+        y = jax.lax.dynamic_update_slice(y, seg, (0, 0, wb - nb, 0))
+    return y
+
+
 def prep_conv_s2d(w, bias, s: int, stride: int = 1,
                   offset: Optional[int] = None, dtype=None):
     """The input-independent half of conv_s2d: expand (s > 1) and cast
@@ -358,6 +484,12 @@ class ConvS2D(nn.Module):
     bias_init: Union[Callable, Any] = nn.initializers.zeros
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    # minimal-span mode: run the conv at window alignment `offset` with
+    # the trimmed expansion (2x2 instead of 3x3 for k=3 — 2.25x fewer
+    # MACs). Off-center offsets shift the output; the caller owns the
+    # shift bookkeeping (nn/feature.py phase_opt).
+    min_span: bool = False
+    offset: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -368,6 +500,12 @@ class ConvS2D(nn.Module):
         bias = (self.param("bias", self.bias_init, (self.features,),
                            jnp.float32) if self.use_bias else None)
         dtype = self.dtype or x.dtype
+        if self.min_span:
+            wex, bex = prepared(self, "wexm", lambda: prep_conv_s2d_min(
+                kernel, bias, self.s, self.stride, self.offset,
+                dtype=dtype))
+            return run_conv_s2d_min(x, wex, bex, kh, self.s, self.stride,
+                                    self.offset, dtype=dtype)
         wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
             kernel, bias, self.s, self.stride, dtype=dtype))
         return run_conv_s2d(x, wex, bex, self.s, self.stride, dtype=dtype)

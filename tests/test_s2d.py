@@ -358,3 +358,43 @@ def test_condition_encoder_s2d2_matches_s4(rng):
     out2 = np.asarray(enc2.apply(v4, depth, dvals, cost))
     assert out4.shape == out2.shape
     np.testing.assert_allclose(out2, out4, rtol=2e-5, atol=2e-5)
+
+
+def test_feature_net_phase_opt_parity(rng):
+    """phase_opt trunk (off-center min-span kernels + border masks +
+    pre-pad/crop) == the direct NHWC FeatureNet, eval mode, at bit
+    level; train mode falls back to the plain s2d trunk (BN stats would
+    see the pad rows otherwise)."""
+    from diffmvs_tpu.nn.feature import FeatureNet
+    from diffmvs_tpu.nn.s2d import prepare_wexp
+
+    net = FeatureNet(base_channels=8, out_channels=(48, 32, 16))
+    net_p = FeatureNet(base_channels=8, out_channels=(48, 32, 16),
+                       s2d=True, phase_opt=True)
+    x = jnp.asarray(rng.rand(2, 40, 64, 3).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x, False)
+
+    want = net.apply(variables, x, False)
+    got = net_p.apply(variables, x, False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+    # the hoisted-weight-prep (wexp) fast path records and reuses the
+    # trimmed expansions too
+    vp = prepare_wexp(net_p.apply, variables, x, False)
+    assert "wexp" in vp
+    got2 = net_p.apply(vp, x, False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got2[k]),
+                                   np.asarray(got[k]), rtol=0, atol=0)
+
+    # train mode: identical tree/result to the plain s2d trunk
+    want_t, wstats = net.apply(variables, x, True, mutable=["batch_stats"])
+    got_t, gstats = net_p.apply(variables, x, True,
+                                mutable=["batch_stats"])
+    for k in want_t:
+        np.testing.assert_allclose(np.asarray(got_t[k]),
+                                   np.asarray(want_t[k]),
+                                   rtol=2e-3, atol=5e-5)
