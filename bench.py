@@ -227,7 +227,9 @@ def check_kernel_parity():
     assert ok, f"TPU kernel parity check failed: rel err {worst}"
 
 
-def main(batch: int = 0):
+def main(batch: int = 0, overrides: str = ""):
+    """overrides: comma-separated ModelConfig field=value pairs for
+    hardware A/Bs (e.g. "feature_phase_opt=True")."""
     import dataclasses
 
     import jax
@@ -263,6 +265,11 @@ def main(batch: int = 0):
     cfg = tpu_optimized(dataclasses.replace(
         CASDIFFMVS, numdepth_initial=nd_init, numdepth=cfg_nd,
         compute_dtype="bfloat16"))
+    if overrides:
+        import ast as _ast
+        kv = dict(p.split("=", 1) for p in overrides.split(","))
+        cfg = dataclasses.replace(
+            cfg, **{k: _ast.literal_eval(v) for k, v in kv.items()})
     model = CasDiffMVS(cfg)
 
     imgs, projs, depth_values = _synthetic_inputs(bsz, 5, h, w, cfg.numdepth)
@@ -335,6 +342,9 @@ if __name__ == "__main__":
                              "(recompute|analytic|pallas)")
     parser.add_argument("--batch", type=int, default=0,
                         help="override view-set batch size (default 4)")
+    parser.add_argument("--set", default="", dest="overrides",
+                        help="ModelConfig overrides for A/Bs, e.g. "
+                             "feature_phase_opt=True[,unroll_iters=False]")
     parser.add_argument("--check", action="store_true",
                         help="gate on TPU-mode pallas-vs-xla kernel "
                              "parity before benching")
@@ -344,7 +354,7 @@ if __name__ == "__main__":
     a = parser.parse_args()
     if a.all:
         check_kernel_parity()
-        main(a.batch)
+        main(a.batch, a.overrides)
         bench_train(a.bwd)
         bench_io(a.workers)
     elif a.io:
@@ -354,4 +364,4 @@ if __name__ == "__main__":
     else:
         if a.check:
             check_kernel_parity()
-        main(a.batch)
+        main(a.batch, a.overrides)
