@@ -398,3 +398,22 @@ def test_feature_net_phase_opt_parity(rng):
         np.testing.assert_allclose(np.asarray(got_t[k]),
                                    np.asarray(want_t[k]),
                                    rtol=2e-3, atol=5e-5)
+
+
+def test_zero_px_border_s2d(rng):
+    """zero_px_border_s2d == zeroing pixel rows/cols in image space."""
+    from diffmvs_tpu.nn.s2d import zero_px_border_s2d
+
+    for s, (top, bottom, left, right) in ((4, (7, 1, 2, 5)),
+                                          (2, (1, 3, 0, 4))):
+        x = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+        want = np.asarray(x).copy()
+        want[:, :top] = 0
+        if bottom:
+            want[:, -bottom:] = 0
+        want[:, :, :left] = 0
+        if right:
+            want[:, :, -right:] = 0
+        got = from_s2d(zero_px_border_s2d(to_s2d(x, s), s, top, bottom,
+                                          left, right), s)
+        np.testing.assert_array_equal(np.asarray(got), want)

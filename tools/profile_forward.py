@@ -112,13 +112,22 @@ def main(selected):
     # ---------------- feature / context nets --------------------------
     fnet = FeatureNet(base_channels=cfg.base_channels,
                       out_channels=cfg.feat_dim_stage, s2d=cfg.feature_s2d,
-                      dtype=dt)
+                      phase_opt=cfg.feature_phase_opt, dtype=dt)
     flat_imgs = imgs.reshape(B * V, H, W, 3)
     fvars = fnet.init(key, flat_imgs[:1], False)
     from diffmvs_tpu.nn.s2d import prepare_wexp
     fvars = prepare_wexp(fnet.apply, fvars, flat_imgs[:1], False)
     measure("feature_net(BV imgs)",
             lambda x: fnet.apply(fvars, x, False), flat_imgs)
+
+    if cfg.feature_s2d and not cfg.feature_phase_opt:
+        # A/B: the phase-optimized trunk (min-span kernels; bit-equal)
+        fnet_p = FeatureNet(base_channels=cfg.base_channels,
+                            out_channels=cfg.feat_dim_stage, s2d=True,
+                            phase_opt=True, dtype=dt)
+        fvars_p = prepare_wexp(fnet_p.apply, fvars, flat_imgs[:1], False)
+        measure("feature_net(phase_opt)",
+                lambda x: fnet_p.apply(fvars_p, x, False), flat_imgs)
 
     cnet = ContextNet(out_dim=cfg.ctx_out_dim, dtype=dt)
     cvars = cnet.init(key, imgs[:1, 0], False)
