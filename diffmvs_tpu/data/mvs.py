@@ -16,9 +16,12 @@ from typing import List, Sequence
 
 import numpy as np
 
+import io
+
 from PIL import Image
 
 from diffmvs_tpu.data.io import read_cam_file
+from diffmvs_tpu.data import native_io
 from diffmvs_tpu.data.resize import resize_image_bilinear
 
 FIXED_WH = {"dtu": (1600, 1152), "tank": (1920, 1056), "eth3d": (1920, 1280)}
@@ -94,30 +97,54 @@ class MVSDataset:
         return resize_image_bilinear(img, (new_w, new_h),
                                      dtype=np.uint8), intrinsics
 
+    def _target_wh(self, ow, oh, intr):
+        """Per-dataset target size + intrinsics scaling for one image of
+        original size (ow, oh) — the sizing math of _scale_adaptive /
+        the fixed img_wh path, shared by the PIL and native loaders."""
+        if self.dataset != "general":
+            nw, nh = self.img_wh
+        else:
+            base = 32
+            if oh > self.max_h or ow > self.max_w:
+                nw = int(self.max_w / ow * ow // base * base)
+                nh = int(self.max_h / oh * oh // base * base)
+            else:
+                nw, nh = int(ow // base * base), int(oh // base * base)
+        intr = intr.copy()
+        intr[0, :] *= nw / ow
+        intr[1, :] *= nh / oh
+        return nw, nh, intr
+
     def __getitem__(self, idx):
         scan, ref_view, src_views = self.metas[idx]
         view_ids = [ref_view] + src_views[: self.n_views - 1]
 
         imgs, proj_matrices = [], []
         depth_values = None
+        datas, sizes = [], []          # native batch-decode operands
         for i, vid in enumerate(view_ids):
             base = (self.datapath if self.dataset == "general"
                     else os.path.join(self.datapath, scan))
-            img = Image.open(os.path.join(base, f"images/{vid:08d}.jpg"))
+            img_path = os.path.join(base, f"images/{vid:08d}.jpg")
             intr, extr, depth_min, depth_max = read_cam_file(
                 os.path.join(base, self.cam_folder, f"{vid:08d}_cam.txt"))
 
-            if self.dataset != "general":
-                ow, oh = img.size
-                img = resize_image_bilinear(img, self.img_wh,
-                                            dtype=np.uint8)
-                intr = intr.copy()
-                intr[0] *= self.img_wh[0] / ow
-                intr[1] *= self.img_wh[1] / oh
+            data = dims = None
+            if native_io.available():
+                with open(img_path, "rb") as f:
+                    data = f.read()
+                dims = native_io.jpeg_dims(data)
+            if dims is not None:
+                nw, nh, intr = self._target_wh(dims[0], dims[1], intr)
+                datas.append(data)
+                sizes.append((nw, nh))
+                imgs.append(None)      # filled by the batch decode below
             else:
-                img, intr = self._scale_adaptive(img, intr)
+                img = Image.open(img_path)
+                nw, nh, intr = self._target_wh(*img.size, intr)
+                imgs.append(resize_image_bilinear(img, (nw, nh),
+                                                  dtype=np.uint8))
 
-            imgs.append(img)
             mat = np.zeros((2, 4, 4), dtype=np.float32)
             mat[0] = extr
             mat[1, :3, :3] = intr
@@ -127,6 +154,17 @@ class MVSDataset:
                 depth_values = np.linspace(
                     1.0 / depth_max, 1.0 / depth_min, self.numdepth,
                     dtype=np.float32)
+
+        if datas:
+            # GIL-free threaded decode+resize (bit-equal to the PIL
+            # path — native/jpeg_loader.cpp); falls back on failure
+            decoded = native_io.decode_resize_batch(datas, sizes)
+            if decoded is None:
+                decoded = [resize_image_bilinear(
+                    Image.open(io.BytesIO(d)), s, dtype=np.uint8)
+                    for d, s in zip(datas, sizes)]
+            it = iter(decoded)
+            imgs = [next(it) if im is None else im for im in imgs]
 
         name_scan = scan + "/" if self.dataset != "general" else ""
         return {
