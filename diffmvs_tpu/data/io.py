@@ -179,5 +179,18 @@ def read_img(filename: str) -> np.ndarray:
 
 def read_img_u8(filename: str) -> np.ndarray:
     """[H, W, 3] uint8 (datasets emit raw bytes; the model normalizes on
-    device — 4x less worker-IPC and host->device traffic)."""
+    device — 4x less worker-IPC and host->device traffic). JPEGs route
+    through the native loader when built (bit-identical decode,
+    data/native_io.py); everything else through PIL."""
+    if filename.endswith((".jpg", ".jpeg")):
+        from diffmvs_tpu.data import native_io
+
+        if native_io.available():
+            with open(filename, "rb") as f:
+                data = f.read()
+            dims = native_io.jpeg_dims(data)
+            if dims is not None:
+                out = native_io.decode_resize(data, dims)
+                if out is not None:
+                    return out
     return np.asarray(Image.open(filename))
