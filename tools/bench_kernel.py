@@ -130,6 +130,26 @@ def main():
                 except Exception as e:
                     print(f"{label:44s} FAILED: {str(e)[:80]}")
 
+        # backward modes: grad of a sum-loss through the kernel
+        # (recompute = XLA-path vjp; analytic = direct XLA cotangents;
+        # pallas = the banded backward kernel, warp_corr_bwd.py)
+        for bwd in ("recompute", "analytic", "pallas"):
+            wg0 = wgs[0]
+
+            def gfn(s, r, a, b, dd, _bwd=bwd, _wg=wg0):
+                gs, gr = jax.grad(
+                    lambda s2, r2: jnp.sum(warp_corr_pallas(
+                        s2, r2, a, b, dd, g, window_group=_wg,
+                        bwd=_bwd).astype(jnp.float32)),
+                    argnums=(0, 1))(s, r)
+                return gs.astype(jnp.float32).mean() + gr.astype(
+                    jnp.float32).mean()
+
+            try:
+                measure(f"fwd+bwd ({bwd})", gfn, src, ref, sp, rp, depths)
+            except Exception as e:
+                print(f"fwd+bwd ({bwd}) FAILED: {str(e)[:80]}")
+
 
 if __name__ == "__main__":
     main()
