@@ -264,6 +264,7 @@ def tpu_optimized(cfg: ModelConfig, backend: str = None) -> ModelConfig:
         return cfg
     return dataclasses.replace(cfg, warp_kernel="pallas_full",
                                unet_s2d=True, feature_s2d=True,
+                               feature_phase_opt=True,
                                stage1_s2d=True, unroll_iters=True)
 
 
