@@ -116,6 +116,9 @@ class ModelConfig:
     # ...and for the stage-1 PixelViewWeight 3D convs (G=8 lanes).
     stage1_s2d: bool = False
 
+    # ...and for the ContextNet's full/half-res levels (C=8-16).
+    context_s2d: bool = False
+
     # Unroll the refinement iterations inside the nn.scan body
     # (lax.scan unroll=iters): XLA then CSEs the loop-invariant weight
     # prep (s2d kernel expansion, weight standardization, GroupNorm
@@ -264,7 +267,7 @@ def tpu_optimized(cfg: ModelConfig, backend: str = None) -> ModelConfig:
         return cfg
     return dataclasses.replace(cfg, warp_kernel="pallas_full",
                                unet_s2d=True, feature_s2d=True,
-                               feature_phase_opt=True,
+                               feature_phase_opt=True, context_s2d=True,
                                stage1_s2d=True, unroll_iters=True)
 
 

@@ -417,3 +417,35 @@ def test_zero_px_border_s2d(rng):
         got = from_s2d(zero_px_border_s2d(to_s2d(x, s), s, top, bottom,
                                           left, right), s)
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_context_net_s2d_parity(rng):
+    """ContextNet(s2d=True) == ContextNet(s2d=False): same params, eval
+    AND train mode (BN stats), all stage heads."""
+    from diffmvs_tpu.nn.context import ContextNet
+
+    net = ContextNet(out_dim=(64, 64, 36))
+    net_s = ContextNet(out_dim=(64, 64, 36), s2d=True)
+    x = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x, False)
+    vs = net_s.init(jax.random.PRNGKey(0), x, False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
+            == jax.tree_util.tree_map(lambda a: a.shape, vs))
+
+    want = net.apply(variables, x, False)
+    got = net_s.apply(variables, x, False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]),
+                                   rtol=2e-3, atol=5e-5)
+
+    want_t, wstats = net.apply(variables, x, True, mutable=["batch_stats"])
+    got_t, gstats = net_s.apply(variables, x, True, mutable=["batch_stats"])
+    for k in want_t:
+        np.testing.assert_allclose(np.asarray(got_t[k]),
+                                   np.asarray(want_t[k]),
+                                   rtol=2e-3, atol=5e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(wstats),
+                    jax.tree_util.tree_leaves(gstats)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=5e-5)
