@@ -217,14 +217,42 @@ def check_kernel_parity():
         scale = np.abs(want).max()
         rel = float(np.abs(got - want).max() / max(scale, 1e-12))
         worst = max(worst, rel)
-    ok = worst <= 1e-4
+
+    # backward kernel gate (warp_bwd="pallas"): grads of a sum-loss vs
+    # the XLA path's vjp at the stage-3 refinement shape
+    def gsum(f):
+        return jax.jit(jax.grad(
+            lambda s, r: jnp.sum(f(s, r).astype(jnp.float32)),
+            argnums=(0, 1)))
+
+    hs, ws, c, d = 288, 400, 16, 4
+    cams = stage_projs(make_cams(2, hs * 2, ws * 2))["stage3"]
+    rp = jnp.asarray(cams[0][None])
+    sp = jnp.asarray(cams[1][None])
+    src = jnp.asarray(rng.randn(1, hs, ws, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(1, hs, ws, c).astype(np.float32))
+    base = 6.0 + 1.5 * rng.rand(1, 1, hs, ws).astype(np.float32)
+    offs = (np.arange(d, dtype=np.float32) - d / 2) * 0.005
+    depths = jnp.asarray(base + offs.reshape(1, d, 1, 1))
+    want_g = gsum(lambda s, r: warp_and_correlate(
+        s, r, sp, rp, depths, 8))(src, ref)
+    got_g = gsum(lambda s, r: warp_corr_pallas(
+        s, r, sp, rp, depths, 8, bwd="pallas"))(src, ref)
+    worst_bwd = 0.0
+    for gw, gg in zip(want_g, got_g):
+        scale = float(jnp.abs(gw).max())
+        worst_bwd = max(worst_bwd, float(
+            jnp.abs(gg - gw).max()) / max(scale, 1e-12))
+
+    ok = worst <= 1e-4 and worst_bwd <= 1e-4
     print(json.dumps({
         "metric": "pallas_vs_xla_tpu_parity_max_rel_err",
-        "value": worst, "unit": "rel_err",
+        "value": worst, "bwd_value": worst_bwd, "unit": "rel_err",
         "backend": jax.default_backend(),
         "pass": ok,
     }))
-    assert ok, f"TPU kernel parity check failed: rel err {worst}"
+    assert ok, ("TPU kernel parity check failed: "
+                f"fwd {worst} bwd {worst_bwd}")
 
 
 def main(batch: int = 0, overrides: str = ""):
