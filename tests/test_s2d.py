@@ -212,8 +212,11 @@ def test_full_model_s2d_parity(rng):
     from helpers import make_batch
 
     cfg = dataclasses.replace(CASDIFFMVS, numdepth_initial=8, numdepth=32)
+    # the full judged TPU layout config (what tpu_optimized() enables,
+    # minus the Pallas kernel which has its own parity tests)
     cfg_s = dataclasses.replace(cfg, unet_s2d=True, feature_s2d=True,
-                               stage1_s2d=True)
+                                feature_phase_opt=True, context_s2d=True,
+                                stage1_s2d=True, unroll_iters=True)
     batch = make_batch(np.random.RandomState(0), 1, 3, 64, 96, numdepth=32)
 
     model = CasDiffMVS(cfg)
