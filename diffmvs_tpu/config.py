@@ -89,6 +89,13 @@ class ModelConfig:
     # (tests/test_gradients.py); speed is hardware-measured.
     warp_bwd: str = "recompute"
 
+    # Per-stage batched-glue mode of the Pallas kernel (shared operand
+    # prep / window geometry / epilogue across the batch; hardware A/B,
+    # docs/perf_breakdown.md: stage1 72->67.5 ms, stage2 67->64.7, but
+    # stage3 REGRESSED 148->161 — so the deepest stage keeps per-sample
+    # glue). Index = stage (initial, refine2, refine3).
+    warp_glue: Tuple[bool, bool, bool] = (True, True, False)
+
     # Run the refinement UNet + condition encoder in space-to-depth
     # layout (nn/s2d.py): identical math and parameters, but the
     # C=8-32 convs/norms/elementwise use all 128 TPU lanes instead of

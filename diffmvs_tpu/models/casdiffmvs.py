@@ -70,6 +70,7 @@ class CasDiffMVS(nn.Module):
         self.depthnet = InitialStage(
             group_dim=cfg.cost_dim_stage[0], up_ratio=2,
             warp_kernel=cfg.warp_kernel, warp_bwd=cfg.warp_bwd,
+            warp_glue=cfg.warp_glue[0],
             stage1_s2d=cfg.stage1_s2d,
             dtype=dt)
 
@@ -102,6 +103,7 @@ class CasDiffMVS(nn.Module):
                 remat=cfg.remat,
                 warp_kernel=cfg.warp_kernel,
                 warp_bwd=cfg.warp_bwd,
+                warp_glue=cfg.warp_glue[s],
                 unet_s2d=cfg.unet_s2d,
                 encoder_s2d=cfg.encoder_s2d,
                 unroll=cfg.unroll_iters,

@@ -56,6 +56,7 @@ class InitialStage(nn.Module):
     up_ratio: int = 2
     warp_kernel: str = "xla"
     warp_bwd: str = "recompute"
+    warp_glue: bool = True       # batched kernel glue (config.warp_glue)
     stage1_s2d: bool = False     # s2d layout for PixelViewWeight
     dtype: Optional[Any] = None
 
@@ -91,7 +92,7 @@ class InitialStage(nn.Module):
                 cor = warp_corr_pallas(
                     src_fea, ref_fea, proj_pairs[:, i + 1],
                     proj_pairs[:, 0], depth_values, self.group_dim,
-                    window_group=8,
+                    window_group=8, batch_glue=self.warp_glue,
                     bwd=self.warp_bwd).astype(ref_fea.dtype)
             else:
                 cor = warp_and_correlate(
@@ -119,7 +120,8 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
                       view_weights, confidence=None,
                       min_radius=0.2, max_radius=2.0, use_confidence=None,
                       warp_kernel: str = "xla",
-                      warp_bwd: str = "recompute"):
+                      warp_bwd: str = "recompute",
+                      warp_glue: bool = True):
     """Per-iteration local cost volume around the current inverse depth.
 
     Parity: GetCost (module.py:575-667) — sample cost_num hypotheses
@@ -163,7 +165,7 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
             # inside (_warp_corr_impl)
             cor = warp_corr_pallas(
                 src_fea, ref_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
-                depth_hyp, group_dim, bwd=warp_bwd)
+                depth_hyp, group_dim, batch_glue=warp_glue, bwd=warp_bwd)
             cor_list.append(cor.astype(ref_fea.dtype))
     else:
         for i, src_fea in enumerate(features[1:]):
