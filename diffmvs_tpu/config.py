@@ -218,6 +218,11 @@ class TrainConfig:
     dp: int = -1                    # -1 = all devices
     sp: int = 1
 
+    # gradient accumulation: process the batch as accum_steps sequential
+    # microbatches, average the gradients, apply ONE optimizer update —
+    # large global batches without the activation memory (train/step.py)
+    accum_steps: int = 1
+
 
 # ---------------------------------------------------------------------------
 # Canonical presets (scripts/train/*.sh, scripts/test/*.sh)

@@ -22,23 +22,65 @@ from diffmvs_tpu.utils.metrics import abs_depth_error
 
 
 def make_train_step(model, cfg, donate: bool = True):
-    """cfg: TrainConfig. Returns train_step(state, batch, rng)."""
+    """cfg: TrainConfig. Returns train_step(state, batch, rng).
+
+    cfg.accum_steps > 1 runs gradient ACCUMULATION: the batch's leading
+    dim is split into accum_steps microbatches processed sequentially
+    under lax.scan (one live microbatch of activations at a time — the
+    standard large-global-batch recipe when activations don't fit),
+    gradients are averaged and applied in ONE optimizer update. BN
+    batch statistics are per-microbatch (sequential EMA updates), the
+    usual grad-accumulation semantics. The reference has no equivalent
+    (nn.DataParallel only)."""
+
+    def loss_fn(params, stats, mb, mrng):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": stats},
+            mb["imgs"], mb["proj_matrices"],
+            mb["depth_values"], depth_gt=mb["depth"], rng=mrng,
+            train=True, mutable=["batch_stats"])
+        loss, loss_dict = compute_inverse_loss(
+            outputs["depth"], outputs["conf"], mb["depth"],
+            mb["mask"], mb["depth_values"],
+            cfg.model.stage_iters, cfg.loss_rate, cfg.conf_weight)
+        return loss, (loss_dict, mutated["batch_stats"], outputs)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    accum = max(int(getattr(cfg, "accum_steps", 1)), 1)
 
     def train_step(state, batch, rng):
-        def loss_fn(params):
-            outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["imgs"], batch["proj_matrices"],
-                batch["depth_values"], depth_gt=batch["depth"], rng=rng,
-                train=True, mutable=["batch_stats"])
-            loss, loss_dict = compute_inverse_loss(
-                outputs["depth"], outputs["conf"], batch["depth"],
-                batch["mask"], batch["depth_values"],
-                cfg.model.stage_iters, cfg.loss_rate, cfg.conf_weight)
-            return loss, (loss_dict, mutated["batch_stats"], outputs)
+        if accum == 1:
+            (loss, (loss_dict, new_stats, outputs)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng)
+        else:
+            def split(x):
+                return x.reshape((accum, x.shape[0] // accum)
+                                 + x.shape[1:])
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (loss_dict, new_stats, outputs)), grads = grad_fn(state.params)
+            micro = jax.tree_util.tree_map(split, batch)
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32),
+                state.params)
+
+            def body(carry, xs):
+                stats, gacc, lacc = carry
+                mb, i = xs
+                (l, (ld, new_stats, outs)), g = grad_fn(
+                    state.params, stats, mb, jax.random.fold_in(rng, i))
+                gacc = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(jnp.float32), gacc, g)
+                return (new_stats, gacc, lacc + l), (ld, outs)
+
+            (new_stats, gsum, lsum), (lds, outs_seq) = jax.lax.scan(
+                body, (state.batch_stats, zero_g, jnp.float32(0.0)),
+                (micro, jnp.arange(accum)))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            loss = lsum / accum
+            loss_dict = jax.tree_util.tree_map(lambda x: x.mean(), lds)
+            # summaries/metrics from the LAST microbatch (cheap, and the
+            # scalar loss above already covers the full global batch)
+            outputs = jax.tree_util.tree_map(lambda x: x[-1], outs_seq)
+            batch = jax.tree_util.tree_map(lambda x: x[-1], micro)
 
         new_state = state.apply_gradients(grads=grads,
                                           batch_stats=new_stats)
