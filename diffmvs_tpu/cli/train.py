@@ -40,6 +40,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lrepochs", default="10,12,14:2")
     p.add_argument("--wd", type=float, default=1e-3)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per step")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--loadckpt", default=None)
     p.add_argument("--logdir", default="./checkpoints/debug")
@@ -101,7 +103,7 @@ def train_config_from_args(args) -> TrainConfig:
         test_views=args.testviews, seed=args.seed,
         conf_weight=args.conf_weight, save_freq=args.save_freq,
         eval_freq=args.eval_freq, summary_freq=args.summary_freq,
-        dp=args.dp, sp=args.sp,
+        dp=args.dp, sp=args.sp, accum_steps=args.accum_steps,
     )
 
 
