@@ -579,7 +579,13 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
 
     def run_bwd(res, g):
         src, ref, sp, rp, dv = res
-        if bwd == "pallas":
+        # the Pallas backward mirrors the DEFAULT rowbatch forward
+        # geometry (tile=128, win_w=256, batch_rows); a forward run in
+        # an experimental variant zeroes a (slightly) different miss set,
+        # so those fall back to the recompute backward
+        default_geom = (batch_rows and not skip
+                        and tile in (0, GATHER_W) and win_w in (0, WIN_W))
+        if bwd == "pallas" and default_geom:
             # banded Pallas backward (gather for d_ref + MXU one-hot-
             # matmul scatter for d_src — warp_corr_bwd.py). Gradient OF
             # THE BANDED FORWARD: missed samples get zero cotangents,
