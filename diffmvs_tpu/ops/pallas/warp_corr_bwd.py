@@ -68,7 +68,8 @@ def _bwd_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
                 dsrc_ref,      # out [1, WIN_K*C, WIN_W] (one per window)
                 win_ref, sem,  # VMEM (2*WIN_K*C, WIN_W) + DMA sem (2,)
                 *, wg: int, win_k: int, groups: int, band: int,
-                hs: int, ws: int, win_w: int = WIN_W):
+                hs: int, ws: int, win_w: int = WIN_W,
+                batched_dot: bool = True):
     n = pl.program_id(0)
     hb = pl.program_id(1)
     t = pl.program_id(2)
@@ -201,9 +202,18 @@ def _bwd_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
                 + jnp.where(wid == lxc[:, :, None] + 1, fx[..., None], 0.0))
         bx_w = bx_w * vv[:, :, None]                     # [rows, t, win_w]
 
-        cmat = jax.lax.dot_general(
-            vb, bx_w, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [rows, b*c, w]
+        if batched_dot:
+            cmat = jax.lax.dot_general(
+                vb, bx_w, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [rows, b*c, w]
+        else:
+            # fallback if Mosaic rejects batch dims on tpu.matmul: a
+            # static python unroll of per-row 2D dots
+            cmat = jnp.stack([
+                jax.lax.dot_general(
+                    vb[r], bx_w[r], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for r in range(nblk)])
 
         # place band rows at window rows rs+b: P one-hot, D = P^T @ C
         pos = jnp.concatenate(
@@ -224,6 +234,7 @@ def warp_corr_backward_pallas(src_fea, ref_fea, src_pair, ref_pair,
                               depth_values, g, groups: int,
                               window_group: int = 0, win_k: int = WIN_K,
                               rows: int = ROWS, band: int = BAND_ROWS,
+                              batched_dot: bool = True,
                               interpret: bool = False):
     """Feature cotangents (d_src, d_ref) of warp_corr_pallas, on-device.
 
@@ -313,7 +324,7 @@ def warp_corr_backward_pallas(src_fea, ref_fea, src_pair, ref_pair,
     steps = n * hb * t_tiles * nw
     kernel = functools.partial(_bwd_kernel, wg=wg, win_k=win_k,
                                groups=groups, band=band, hs=hs, ws=ws,
-                               win_w=win_w)
+                               win_w=win_w, batched_dot=batched_dot)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n, hb, t_tiles, nw),
