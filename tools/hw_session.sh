@@ -32,6 +32,10 @@ T=2400 run python tools/profile_forward.py
 T=2400 run python tools/bench_kernel.py
 # 6. batch-glue A/B (per-stage winner)
 T=2400 run python tools/bench_glue_ab.py
+# 6b. trace attribution of the two headroom targets (writes trace dirs;
+#     parse with tools/trace_op.py parse_grouped <trace.json>)
+T=2400 run python tools/trace_op.py feature
+T=2400 run python tools/trace_op.py stage3
 # 7. host IO (no TPU needed but cheap)
 T=900 run python bench.py --io --workers 0
 echo "=== done $(date) ===" | tee -a "$LOG"
