@@ -14,15 +14,15 @@ The reference's entire distributed story is single-process nn.DataParallel
 Everything goes through jit with NamedSharding-annotated inputs: no pmap,
 no hand-written collectives in model code.
 
-Known caveat (multi-chip x Pallas): the fused warp+correlation kernel has
-no GSPMD partitioning rule, so a sharded train step with
-warp_kernel="pallas"/"pallas_full" relies on XLA's default custom-call
-handling. Multi-chip TRAINING should either keep warp_kernel="xla"
-(validated by __graft_entry__.dryrun_multichip) or wrap the step in
-shard_map over the "data" axis so the kernel sees per-device batches —
-the latter is the planned path once multi-chip hardware is reachable
-(interpret-mode Pallas under an 8-device SPMD compile is too slow to
-validate on the CPU mesh).
+Multi-chip x Pallas: the fused warp+correlation kernel has no GSPMD
+partitioning rule, so multi-chip TRAINING with warp_kernel="pallas*"
+uses train/step.py:make_train_step_shmap — a jax.shard_map (manual
+SPMD) step over the "data" axis where every device runs the whole model
+(kernel included) on its local batch and gradients/BN stats are
+pmean'd. Validated on the CPU mesh: the kernel under shard_map matches
+the XLA path (tests/test_parallel.py) and the shard_map step trains.
+The GSPMD step remains the default for warp_kernel="xla" and for
+"space"-axis sharding (manual SPMD would need hand-written conv halos).
 """
 
 from __future__ import annotations

@@ -113,6 +113,71 @@ def make_train_step(model, cfg, donate: bool = True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_shmap(model, cfg, mesh, donate: bool = True):
+    """shard_map (manual-SPMD) variant of the train step over the mesh's
+    "data" axis: each device computes its local-shard loss and gradients
+    (the whole model — including the Pallas warp kernel, which has no
+    GSPMD partitioning rule — runs on per-device batches), then
+    gradients/scalars are pmean'd and the replicated optimizer update is
+    applied identically on every device.
+
+    Semantics vs the GSPMD step: BN batch statistics are per-shard and
+    pmean-averaged into the replicated state — the reference's
+    nn.DataParallel semantics (per-GPU stats), NOT global-batch sync-BN.
+    The per-shard diffusion rng is folded with the device's axis index so
+    shards draw independent noise. Requires sp == 1 (the "space" axis
+    would need conv halo exchanges that manual SPMD doesn't insert)."""
+    from jax.sharding import PartitionSpec as P
+
+    assert mesh.shape.get("space", 1) == 1, \
+        "shard_map step shards batch only; use the GSPMD step for sp > 1"
+
+    def loss_fn(params, stats, mb, mrng):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": stats},
+            mb["imgs"], mb["proj_matrices"],
+            mb["depth_values"], depth_gt=mb["depth"], rng=mrng,
+            train=True, mutable=["batch_stats"])
+        loss, loss_dict = compute_inverse_loss(
+            outputs["depth"], outputs["conf"], mb["depth"],
+            mb["mask"], mb["depth_values"],
+            cfg.model.stage_iters, cfg.loss_rate, cfg.conf_weight)
+        return loss, (loss_dict, mutated["batch_stats"], outputs)
+
+    def local_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        (loss, (loss_dict, new_stats, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   batch, rng)
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        loss = jax.lax.pmean(loss, "data")
+        loss_dict = jax.lax.pmean(loss_dict, "data")
+        new_state = state.apply_gradients(grads=grads,
+                                          batch_stats=new_stats)
+        depth_est = outputs["depth"][-1]
+        scalars = {
+            "loss": loss,
+            "depth_loss": loss_dict[f"l{len(outputs['depth']) - 1}"],
+            "final_depth_error": jax.lax.pmean(abs_depth_error(
+                depth_est, batch["depth"]["stage4"],
+                batch["mask"]["stage4"] > 0.5), "data"),
+            **loss_dict,
+        }
+        images = {
+            "depth_est": depth_est * batch["mask"]["stage4"],
+            "depth_gt": batch["depth"]["stage4"],
+        }
+        return new_state, scalars, images
+
+    shmap = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P(), P("data")),
+        check_vma=False)
+    return jax.jit(shmap, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model, cfg):
     """Validation step: DDIM eval branch with full intermediate lists
     (the reference's test_sample_depth — model.eval(), test=False)."""
