@@ -68,7 +68,18 @@ def run_eval(model, cfg, state, val_loader, logdir: str = None):
 def run_training(model, cfg, state, train_loader, val_loader, mesh,
                  logdir: str, start_epoch: int = 0):
     logger = ScalarLogger(logdir)
-    train_step = make_train_step(model, cfg)
+    # the Pallas warp kernel has no GSPMD partitioning rule: on a
+    # multi-device data-parallel mesh it trains through the manual-SPMD
+    # shard_map step (parallel/mesh.py module docs)
+    use_shmap = (mesh is not None and mesh.size > 1
+                 and mesh.shape.get("space", 1) == 1
+                 and cfg.model.warp_kernel != "xla")
+    if use_shmap:
+        from diffmvs_tpu.train.step import make_train_step_shmap
+
+        train_step = make_train_step_shmap(model, cfg, mesh)
+    else:
+        train_step = make_train_step(model, cfg)
     eval_step = make_eval_step(model, cfg)
 
     rng = jax.random.PRNGKey(cfg.seed)
