@@ -20,6 +20,9 @@ T=600 run python bench.py --check
 T=3600 run python bench.py
 # 2. phase-opt / context-s2d A/B (old config, still cached from r2/r3)
 T=3600 run python bench.py --set feature_phase_opt=False,context_s2d=False
+# 2a. batch-size scaling (B=4 is the shipped default; +15% was measured
+#     B=1->4, check the curve hasn't flipped with the new tails)
+T=3600 run python bench.py --batch 8
 # 2b. encoder at s2d(2) (halves expanded-conv MACs, +1 relayout)
 T=3600 run python bench.py --set encoder_s2d=2
 # 3. train-step throughput per backward mode
