@@ -205,6 +205,7 @@ def _bwd_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
         if batched_dot:
             cmat = jax.lax.dot_general(
                 vb, bx_w, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)      # [rows, b*c, w]
         else:
             # fallback if Mosaic rejects batch dims on tpu.matmul: a
@@ -212,20 +213,27 @@ def _bwd_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
             cmat = jnp.stack([
                 jax.lax.dot_general(
                     vb[r], bx_w[r], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 for r in range(nblk)])
 
-        # place band rows at window rows rs+b: P one-hot, D = P^T @ C
-        pos = jnp.concatenate(
-            [jnp.full((1, band), rs, jnp.int32) for rs in rsv]
-        ) + jax.lax.broadcasted_iota(jnp.int32, (nblk, band), 1)
+        # place band rows at window rows rs+b: P one-hot, D = P^T @ C.
+        # pos is built directly at [nblk*band, 1] — a [nblk, band] ->
+        # [nblk*band, 1] reshape is a cross-lane relayout Mosaic rejects
+        # ("unsupported shape cast", seen on hardware)
+        boff = jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
+        pos = jnp.concatenate([boff + rs for rs in rsv])
         kid = jax.lax.broadcasted_iota(
             jnp.int32, (nblk * band, win_k), 1)
-        pmat = (kid == pos.reshape(nblk * band, 1)).astype(jnp.float32)
+        pmat = (kid == pos).astype(jnp.float32)
 
         c2 = cmat.reshape(nblk * band, c * win_w)
+        # HIGHEST: the MXU's default f32 handling rounds operands to
+        # bf16 (one pass), which costs ~3e-3 rel err in the gradients on
+        # hardware; these dots are the d_src scatter's numeric core
         d_win = jax.lax.dot_general(
             pmat, c2, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)          # [win_k, c*w]
         dsrc_ref[0] += d_win.reshape(kc, win_w)
 
@@ -344,6 +352,13 @@ def warp_corr_backward_pallas(src_fea, ref_fea, src_pair, ref_pair,
                                  jnp.float32),
             jax.ShapeDtypeStruct((steps, kc, win_w), jnp.float32),
         ],
+        # the per-plane temporaries (bands gathers, bx_w, cmat) of the
+        # unrolled wg-plane loop exceed the default 16 MB scoped-vmem
+        # budget at sweep shapes (c=48, wg=8 measures 21.7 MB on v5e);
+        # raise the cap — total VMEM is 128 MB and the operand blocks
+        # are small ([wg, rows, tile] coords + one window)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bases, rstarts, tile_view(x), tile_view(y), gt, ref_t, src_t)
 
