@@ -96,6 +96,13 @@ class ModelConfig:
     # glue). Index = stage (initial, refine2, refine3).
     warp_glue: Tuple[bool, bool, bool] = (True, True, False)
 
+    # Aggregate the per-view Pallas correlations in the kernel's native
+    # [HB, T, D, rows, G, tile] layout (refinement stages): one relayout
+    # after the weighted view mean instead of one 6-D transpose per
+    # source view (ops/pallas/warp_corr.aggregate_native_cost). Bit-
+    # identical values; A/B with bench.py --set warp_native_agg=False.
+    warp_native_agg: bool = True
+
     # Run the refinement UNet + condition encoder in space-to-depth
     # layout (nn/s2d.py): identical math and parameters, but the
     # C=8-32 convs/norms/elementwise use all 128 TPU lanes instead of

@@ -104,6 +104,7 @@ class CasDiffMVS(nn.Module):
                 warp_kernel=cfg.warp_kernel,
                 warp_bwd=cfg.warp_bwd,
                 warp_glue=cfg.warp_glue[s],
+                warp_native_agg=cfg.warp_native_agg,
                 unet_s2d=cfg.unet_s2d,
                 encoder_s2d=cfg.encoder_s2d,
                 unroll=cfg.unroll_iters,

@@ -54,6 +54,7 @@ class RefineIteration(nn.Module):
     warp_kernel: str = "xla"
     warp_bwd: str = "recompute"
     warp_glue: bool = True
+    warp_native_agg: bool = True
     unet_s2d: bool = False
     encoder_s2d: int = 0         # 0 = the UNet factor; 2 = run the
                                  # condition encoder at s2d(2) + one
@@ -97,7 +98,8 @@ class RefineIteration(nn.Module):
             view_weights, confidence=confidence,
             min_radius=self.min_radius, max_radius=self.max_radius,
             use_confidence=has_conf, warp_kernel=self.warp_kernel,
-            warp_bwd=self.warp_bwd, warp_glue=self.warp_glue)
+            warp_bwd=self.warp_bwd, warp_glue=self.warp_glue,
+            warp_native_agg=self.warp_native_agg)
         input_features = self.encoder(
             inv_new[..., None], samples.transpose(0, 2, 3, 1), cost)
         input_unet = jnp.concatenate([context, input_features], axis=-1)
@@ -134,6 +136,7 @@ class RefinementStage(nn.Module):
     warp_kernel: str = "xla"
     warp_bwd: str = "recompute"
     warp_glue: bool = True
+    warp_native_agg: bool = True
     unet_s2d: bool = False
     encoder_s2d: int = 0
     unroll: bool = False
@@ -173,6 +176,7 @@ class RefinementStage(nn.Module):
             warp_kernel=self.warp_kernel,
             warp_bwd=self.warp_bwd,
             warp_glue=self.warp_glue,
+            warp_native_agg=self.warp_native_agg,
             unet_s2d=self.unet_s2d,
             encoder_s2d=self.encoder_s2d,
             dtype=self.dtype, name="cell")

@@ -121,7 +121,8 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
                       min_radius=0.2, max_radius=2.0, use_confidence=None,
                       warp_kernel: str = "xla",
                       warp_bwd: str = "recompute",
-                      warp_glue: bool = True):
+                      warp_glue: bool = True,
+                      warp_native_agg: bool = True):
     """Per-iteration local cost volume around the current inverse depth.
 
     Parity: GetCost (module.py:575-667) — sample cost_num hypotheses
@@ -158,15 +159,26 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
         # the read-modify-write dependency between consecutive grid steps
         # defeats Mosaic's grid pipelining. Independent per-(view,sample)
         # calls pipeline against each other and the surrounding XLA ops.
-        from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
+        from diffmvs_tpu.ops.pallas.warp_corr import (aggregate_native_cost,
+                                                      warp_corr_pallas)
 
         for i, src_fea in enumerate(features[1:]):
             # batched call: shared prep/epilogue, per-sample launches
             # inside (_warp_corr_impl)
             cor = warp_corr_pallas(
                 src_fea, ref_fea, proj_pairs[:, i + 1], proj_pairs[:, 0],
-                depth_hyp, group_dim, batch_glue=warp_glue, bwd=warp_bwd)
+                depth_hyp, group_dim, batch_glue=warp_glue, bwd=warp_bwd,
+                native_out=warp_native_agg)
             cor_list.append(cor.astype(ref_fea.dtype))
+        if warp_native_agg:
+            # weight-sum the views in the kernel's native layout and pay
+            # ONE relayout straight into the reference's g*D+d channel
+            # flattening — identical values to the aggregate_views path
+            # (tests/test_pallas_warp.py asserts bit-parity)
+            h, w = inv_depth.shape[1], inv_depth.shape[2]
+            cost = aggregate_native_cost(jnp.stack(cor_list),
+                                         view_weights, h, w)
+            return cost, samples
     else:
         for i, src_fea in enumerate(features[1:]):
             cor_list.append(warp_and_correlate(

@@ -530,6 +530,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      batch_rows: bool = True, win_w: int = 0,
                      tile: int = 0, chunk_cap: int = 4096,
                      batch_glue: bool = True, bwd: str = "recompute",
+                     native_out: bool = False,
                      interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
@@ -558,7 +559,8 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     kwargs = dict(window_group=window_group, win_k=win_k, rows=rows,
                   band=band, packed=packed, skip=skip,
                   batch_rows=batch_rows, win_w=win_w, tile=tile,
-                  chunk_cap=chunk_cap, interpret=interpret)
+                  chunk_cap=chunk_cap, native_out=native_out,
+                  interpret=interpret)
 
     def impl(src, ref, sp, rp, dv):
         if batch_glue or src.shape[0] == 1:
@@ -579,6 +581,16 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
 
     def run_bwd(res, g):
         src, ref, sp, rp, dv = res
+        if native_out:
+            # cotangent arrives in the kernel-native layout
+            # [N, HB, T, D, rows, G, tile]; every backward below wants
+            # the standard [N, D, H, W, G]. Padded rows/cols carry zero
+            # cotangents (the forward's consumers slice them away), so
+            # the crop loses nothing.
+            h, w = dv.shape[2], dv.shape[3]
+            nb, hb_, tt_, dd_, rr_, gg_, tl_ = g.shape
+            g = (g.transpose(0, 3, 1, 4, 2, 6, 5)
+                 .reshape(nb, dd_, hb_ * rr_, tt_ * tl_, gg_)[:, :, :h, :w])
         # the Pallas backward mirrors the DEFAULT rowbatch forward
         # geometry (tile=128, win_w=256, batch_rows); a forward run in
         # an experimental variant zeroes a (slightly) different miss set,
@@ -631,6 +643,7 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                     band: int = BAND_ROWS, packed=None, skip: str = "",
                     batch_rows: bool = True, win_w: int = 0,
                     tile: int = 0, chunk_cap: int = 4096,
+                    native_out: bool = False,
                     interpret: bool = False):
     n, hs, ws, c = src_fea.shape
     _, d, h, w = depth_values.shape
@@ -814,11 +827,44 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                                ref_t[blk], src_t[j:j + 1]))
         out = jnp.concatenate(outs)
 
-    # [N*HB*T, D, rows, G, tile] -> [N, D, H, W, G]
     out = out.reshape(n, hb, t_tiles, d, rows, groups, tile)
+    if native_out:
+        # kernel-native layout [N, HB, T, D, rows, G, tile]: callers that
+        # aggregate several views (local_cost_volume) weight-sum in this
+        # layout and pay ONE relayout for the aggregate instead of one
+        # 6-D transpose per view (aggregate_native_cost below). Padded
+        # rows/cols ride along; the final cost relayout slices them off.
+        return out
+    # [N, HB, T, D, rows, G, tile] -> [N, D, H, W, G]
     out = out.transpose(0, 3, 1, 4, 2, 6, 5)
     out = out.reshape(n, d, h_pad, w_pad, groups)[:, :, :h, :w]
     return out
+
+
+def aggregate_native_cost(cors, view_weights, h, w):
+    """View-weighted cost tensor from kernel-native correlations.
+
+    cors: [V, N, HB, T, D, rows, G, tile] stacked `native_out=True`
+    results (cast to the compute dtype by the caller, matching the
+    standard path's per-view cast). view_weights: [V, N, H, W].
+    Returns cost [N, h, w, G*D] with channel = g*D + d — identical
+    values to aggregate_views (ops/correlation.py:47) followed by the
+    reference's [B, G*D, H, W] channel flattening (module.py:665-666),
+    but computed in the kernel's native layout: one relayout AFTER the
+    weighted mean instead of one 6-D transpose per source view before
+    it (the per-view epilogue transposes were ~12 ms per stage-3 cost
+    volume in the round-3 trace, docs/perf_breakdown.md)."""
+    v, n, hb, tt, d, rows, g, tile = cors.shape
+    h_pad, w_pad = hb * rows, tt * tile
+    vw = _pad_to(_pad_to(view_weights, w_pad, axis=3), h_pad, axis=2)
+    vw = (vw.reshape(v, n, hb, rows, tt, tile)
+          .transpose(0, 1, 2, 4, 3, 5))            # [V,N,HB,T,rows,tile]
+    wb = vw[:, :, :, :, None, :, None, :]       # [V,N,HB,T,1,rows,1,tile]
+    num = jnp.sum(cors * wb, axis=0)
+    den = jnp.sum(wb, axis=0) + 1e-8                   # module.py:515
+    agg = num / den                             # [N,HB,T,D,rows,G,tile]
+    return (agg.transpose(0, 1, 4, 2, 6, 5, 3)  # [N,HB,rows,T,tile,G,D]
+            .reshape(n, h_pad, w_pad, g * d)[:, :h, :w])
 
 
 def model_miss_fraction(proj_matrices, depth_values, height, width,

@@ -219,3 +219,44 @@ def test_warp_corr_rowbatch_packed_matches_f32(rng):
         )(src16, ref, sp, rp, depths))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_local_cost_volume_native_agg_matches(rng):
+    """warp_native_agg=True (kernel-native weighted view aggregation +
+    one relayout, ops/pallas/warp_corr.aggregate_native_cost) must equal
+    the standard per-view-transpose + aggregate_views path — values AND
+    feature gradients (the custom_vjp converts native cotangents back to
+    the standard layout)."""
+    from diffmvs_tpu.models.stages import local_cost_volume
+
+    b, h, w, c, v = 2, 48, 128, 16, 3
+    cams = make_cams(v, h * 2, w * 2)
+    projs = stage_projs(cams)["stage3"]       # [V, 2, 4, 4]
+    pp = jnp.asarray(np.broadcast_to(projs, (b,) + projs.shape).copy())
+    feats = jnp.asarray(rng.randn(v, b, h, w, c).astype(np.float32))
+    inv = jnp.asarray((rng.rand(b, h, w) * 0.5 + 0.25).astype(np.float32))
+    vw = jnp.asarray((rng.rand(v - 1, b, h, w) + 0.1).astype(np.float32))
+    dmin = jnp.full((b,), 4.0, jnp.float32)
+    dmax = jnp.full((b,), 10.0, jnp.float32)
+
+    def run(native, fs):
+        cost, samples = local_cost_volume(
+            inv, [fs[i] for i in range(v)], pp, 1.0 / 32, dmin, dmax,
+            cost_num=4, group_dim=4, view_weights=vw,
+            warp_kernel="pallas", warp_native_agg=native)
+        return cost, samples
+
+    (cost_n, samp_n) = jax.jit(lambda fs: run(True, fs))(feats)
+    (cost_s, samp_s) = jax.jit(lambda fs: run(False, fs))(feats)
+    assert cost_n.shape == cost_s.shape
+    np.testing.assert_array_equal(np.asarray(samp_n), np.asarray(samp_s))
+    np.testing.assert_allclose(np.asarray(cost_n), np.asarray(cost_s),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(native, fs):
+        cost, _ = run(native, fs)
+        return jnp.sum(cost * cost)
+
+    g_n = np.asarray(jax.jit(jax.grad(lambda fs: loss(True, fs)))(feats))
+    g_s = np.asarray(jax.jit(jax.grad(lambda fs: loss(False, fs)))(feats))
+    np.testing.assert_allclose(g_n, g_s, rtol=1e-5, atol=1e-6)
