@@ -545,6 +545,17 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     exists on the per-(d,r) kernel, not the faster rowbatch one.
     Returns [N, D, H, W, G] float32 group-mean correlations
     (out-of-image / out-of-band samples contribute zeros).
+    With native_out=True it instead returns the kernel-native 7-D
+    layout [N, HB, T, D, rows, G, tile] (HB*rows >= H row blocks,
+    T*tile >= W column tiles) WITH the row/col padding still present;
+    consumers must slice/zero-weight the pad region. The only
+    supported consumer is ops/pallas/warp_corr.aggregate_native_cost,
+    which does exactly that — the custom-vjp backward crops the
+    cotangent to [:H, :W], which is gradient-correct only while
+    padded positions carry zero cotangents (true for
+    aggregate_native_cost; any new direct consumer of the native
+    layout must preserve this invariant or route through the
+    aggregator).
 
     DIFFERENTIABLE: a custom_vjp makes the training path usable — the
     backward recomputes through the exact XLA path

@@ -107,7 +107,7 @@ def test_conv_s2d_unpadded_downsample(rng):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_upsample_nearest_s2d(rng):
+def test_upsample_nearest_s2d_roundtrip(rng):
     x = jnp.asarray(rng.rand(1, 8, 12, 5).astype(np.float32))
     want = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     for s_in in (1, 2):

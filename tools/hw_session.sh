@@ -9,7 +9,7 @@ LOG=${1:-/tmp/hw_session.log}
 cd /root/repo
 # scripts under tools/ need the repo root (and the axon plugin) on the
 # path — python adds the script's dir, not the cwd
-export PYTHONPATH=/root/repo:/root/.axon_site
+export PYTHONPATH=/root/repo:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}
 export OMP_NUM_THREADS=1
 run() {
   echo "### $(date +%T) $*" | tee -a "$LOG"
