@@ -24,11 +24,12 @@ jax.config.update("jax_enable_x64", False)
 # Full-f32 matmuls/convs in tests — the backend default rounds operands to
 # bfloat16 (TPU-style), which breaks parity assertions against torch.
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compilation cache: eager/first-compile on this 1-CPU host is
-# very slow; cache across pytest runs.
-os.makedirs("/root/.cache/jax_comp", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Persistent compilation cache across pytest runs (first-compile on this
+# 1-CPU host is very slow). Uses the per-host-arch CPU dir — see
+# diffmvs_tpu/utils/compile_cache.py for why CPU and TPU caches are split.
+from diffmvs_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache("cpu")
 
 # Force backend init BEFORE any test module imports torch: creating the XLA
 # CPU client after torch (OpenMP) is loaded stalls for minutes on small hosts.

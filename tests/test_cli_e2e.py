@@ -41,6 +41,38 @@ def _make_scene(root, v=3, h=64, w=96):
                 "2\n2 0 10.0 1 5.0\n")
 
 
+def test_cli_export_and_fusion_smoke(tmp_path):
+    """Default-gate tiny-res version of test_cli_export_and_fusion: the
+    same CLI seam (save_scene_depth + run_fusion, reference test.py +
+    filter.py) at 32x64 / numdepth 4/16 so a regression in the export or
+    fusion plumbing is caught without --run-slow."""
+    from diffmvs_tpu.cli.test import main
+
+    scene = tmp_path / "scene"
+    scene.mkdir()
+    _make_scene(scene, h=32, w=64)
+    outdir = tmp_path / "out"
+
+    main([
+        "--dataset", "general", "--method", "casdiffmvs", "--save_depth",
+        "--testpath", str(scene), "--outdir", str(outdir),
+        "--numdepth_initial", "4", "--numdepth", "16",
+        "--max_h", "32", "--max_w", "64",
+        "--geo_mask_thres", "1", "--geo_pixel_thres", "8",
+        "--geo_depth_thres", "0.5", "--photo_thres", "0", "0", "0",
+    ])
+
+    for i in range(3):
+        depth, _ = read_pfm(str(outdir / "depth_est" / f"{i:08d}.pfm"))
+        assert depth.shape == (32, 64)
+        assert np.isfinite(depth).all()
+        assert depth.min() >= 4.0 - 1e-2 and depth.max() <= 10.0 + 1e-1
+    assert (outdir / "pc.ply").exists()
+    from diffmvs_tpu.fusion.ply import read_ply
+    xyz, _ = read_ply(str(outdir / "pc.ply"))
+    assert xyz.shape[0] > 0 and np.isfinite(xyz).all()
+
+
 @pytest.mark.slow
 def test_cli_export_and_fusion(tmp_path):
     from diffmvs_tpu.cli.test import main

@@ -53,6 +53,56 @@ def _make_blend_scene(root, scan, n_views=4, h=64, w=96):
                 f"{j} {10.0 - j}" for j in others) + "\n")
 
 
+def test_training_loop_smoke(tmp_path):
+    """Default-gate tiny-res version of test_training_loop_end_to_end:
+    data pipeline -> sharded train steps -> checkpoint -> restore, at
+    32x64 / numdepth 4/16 so the train seam runs on every pytest."""
+    from diffmvs_tpu.data.blend import MVSDataset
+
+    scan = "synthscan"
+    _make_blend_scene(tmp_path, scan, h=32, w=64)
+    listfile = tmp_path / "list.txt"
+    listfile.write_text(scan + "\n")
+
+    cfg = TrainConfig(
+        model=dataclasses.replace(CASDIFFMVS, numdepth_initial=4,
+                                  numdepth=16),
+        dataset="blend", epochs=1, batch_size=2, train_views=3,
+        test_views=3, summary_freq=1, lr=1e-4)
+
+    train_ds = MVSDataset(str(tmp_path), str(listfile), "train", 3, 16)
+    val_ds = MVSDataset(str(tmp_path), str(listfile), "test", 3, 16)
+    mesh = make_mesh(2, 1)
+    train_loader = DataPipeline(train_ds, 2, shuffle=True, drop_last=True,
+                                mesh=mesh)
+    val_loader = DataPipeline(val_ds, 2, shuffle=False, drop_last=True,
+                              mesh=mesh)
+
+    model = CasDiffMVS(cfg.model)
+    sample = next(iter(DataPipeline(train_ds, 1)))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), sample,
+                               steps_per_epoch=len(train_loader))
+    state = replicate(mesh, state)
+
+    logdir = str(tmp_path / "logs")
+    final_state = run_training(model, cfg, state, train_loader, val_loader,
+                               mesh, logdir, start_epoch=0)
+    assert int(final_state.step) == len(train_loader)
+
+    with open(os.path.join(logdir, "scalars.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert any(r["mode"] == "train" for r in records)
+    assert any(r["mode"] == "full_test" for r in records)
+    for r in records:
+        if "loss" in r:
+            assert np.isfinite(r["loss"])
+
+    assert latest_epoch(logdir) == 0
+    restored, epoch = restore_checkpoint(logdir, jax.device_get(final_state))
+    assert epoch == 0
+    assert int(restored.step) == int(final_state.step)
+
+
 @pytest.mark.slow
 def test_training_loop_end_to_end(tmp_path):
     from diffmvs_tpu.data.blend import MVSDataset
