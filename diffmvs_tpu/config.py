@@ -127,6 +127,14 @@ class ModelConfig:
     # bit-identical math (nn/feature.py FeatureNet.phase_opt).
     feature_phase_opt: bool = False
 
+    # Fold the FPN stage-3 head (inner2 1x1 + nearest-upsample + add +
+    # out3 3x3) into ONE conv over concat([intra, c1, ones]) — removes
+    # ~10 ms/forward of channel-duplication data movement and halves the
+    # out3 contraction width; same params, same math modulo one f32
+    # reassociation (nn/feature.py _fold_stage3_kernel). Needs
+    # feature_s2d.
+    feature_fold_head: bool = False
+
     # ...and for the stage-1 PixelViewWeight 3D convs (G=8 lanes).
     stage1_s2d: bool = False
 
@@ -287,6 +295,7 @@ def tpu_optimized(cfg: ModelConfig, backend: str = None) -> ModelConfig:
     return dataclasses.replace(cfg, warp_kernel="pallas_full",
                                unet_s2d=True, feature_s2d=True,
                                feature_phase_opt=True, context_s2d=True,
+                               feature_fold_head=True,
                                stage1_s2d=True, unroll_iters=True)
 
 

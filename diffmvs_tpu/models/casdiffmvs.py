@@ -64,6 +64,7 @@ class CasDiffMVS(nn.Module):
             base_channels=cfg.base_channels,
             out_channels=cfg.feat_dim_stage, s2d=cfg.feature_s2d,
             phase_opt=cfg.feature_phase_opt,
+            fold_head=cfg.feature_fold_head,
             dtype=dt)
         self.context = ContextNet(out_dim=cfg.ctx_out_dim,
                                   s2d=cfg.context_s2d, dtype=dt)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -29,7 +30,9 @@ from diffmvs_tpu.nn.layers import (
 from diffmvs_tpu.nn.s2d import (
     BatchNormS2D,
     ConvS2D,
+    expand_kernel,
     from_s2d,
+    prepared,
     to_s2d,
     upsample_nearest_s2d,
     zero_px_border_s2d,
@@ -77,6 +80,61 @@ class ConvBnActS2D(nn.Module):
         return x
 
 
+class _ConvParams(nn.Module):
+    """Parameter container matching ConvS2D's tree ('kernel' + optional
+    'bias', ORIGINAL kernel shapes) for head convs whose math executes
+    folded into a neighbouring conv (FeatureNet.fold_head) — checkpoints
+    and the torch importer see the exact same parameters either way."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    cin: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        k = self.param("kernel", torch_kernel_init,
+                       (kh, kw, self.cin, self.features), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
+def _fold_stage3_kernel(w2, b2, w3, dtype):
+    """Fold the s2d stage-3 FPN head — inner2 1x1 (on c1, s2d(2)) +
+    nearest-upsample of intra (pure channel duplication in s2d) + add +
+    out3 3x3 — into ONE conv kernel over concat([intra (C3 ch),
+    c1 (4*C1 ch, s2d(2) c-major), ones (1 ch)]).
+
+    Exact linear algebra on the expanded out3 kernel
+    (wex3 [3,3,4*C3,4*oc], input channels (c,p) c-major):
+      - the nearest-upsample duplicates intra[c] into all 4 phases, so
+        the intra taps are the phase-sum  K_intra[d,c,o] = sum_p wex3[d,(c,p),o];
+      - the 1x1 inner2 expansion is phase-diagonal
+        (lat[(c,p)] = sum_i w2[i,c] * c1[(i,p)] + b2[c]), so
+        K_c1[d,(i,p),o] = sum_c wex3[d,(c,p),o] * w2[i,c];
+      - the inner2 bias rides a constant ones channel
+        K_ones[d,o] = sum_{c,p} wex3[d,(c,p),o] * b2[c] — zero-padding
+        the ones channel reproduces the zero-padded-merge border
+        semantics exactly (no bias contribution outside the image).
+    Removes the upsample's ~10 ms/forward of channel-duplication data
+    movement and halves the out3 contraction width (256 -> 129 inputs).
+    Same math as the unfolded path modulo one f32-product reassociation.
+    """
+    kh, kw, c3, _ = w3.shape
+    wex3 = expand_kernel(w3, 2, 1)                 # [K,K, 4*c3, 4*oc]
+    k2h, k2w, _, oc4 = wex3.shape
+    wex3r = wex3.reshape(k2h, k2w, c3, 4, oc4)
+    k_intra = wex3r.sum(axis=3)                    # [K,K,c3,4*oc]
+    w2m = w2.reshape(w2.shape[2], w2.shape[3])     # [C1, c3]
+    k_c1 = jnp.einsum("xycpo,ic->xyipo", wex3r, w2m)
+    k_c1 = k_c1.reshape(k2h, k2w, w2m.shape[0] * 4, oc4)
+    k_ones = jnp.einsum("xycpo,c->xyo", wex3r, b2)[:, :, None, :]
+    kfold = jnp.concatenate([k_intra, k_c1, k_ones], axis=2)
+    return kfold if dtype is None else kfold.astype(dtype)
+
+
 class FeatureNet(nn.Module):
     base_channels: int = 8
     out_channels: Tuple[int, int, int] = (48, 32, 16)  # stage1..3; [2]==0 for DiffMVS
@@ -90,6 +148,12 @@ class FeatureNet(nn.Module):
     # telescopes to 0 at c1). Falls back to the plain s2d trunk in
     # train mode (BN batch stats would see the pad rows).
     phase_opt: bool = False
+    # fold_head (needs s2d): run the stage-3 head (inner2 + nearest-up
+    # + add + out3) as ONE folded conv over concat([intra, c1, ones])
+    # (_fold_stage3_kernel). Identical parameters; same math modulo one
+    # f32 reassociation. Works in train mode too (the fold is plain
+    # differentiable algebra on the params when no "wexp" is bound).
+    fold_head: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -172,7 +236,25 @@ class FeatureNet(nn.Module):
                                  use_bias=False, dtype=dt, name="out2")(intra)
 
         if self.out_channels[2] > 0:
-            if self.s2d:
+            if self.s2d and self.fold_head:
+                # one folded conv replaces inner2 + channel-dup upsample
+                # + add + out3 (see _fold_stage3_kernel); params and
+                # names identical to the unfolded path below
+                w2, b2 = _ConvParams(bc * 8, (1, 1), bc * 2,
+                                     name="inner2")()
+                w3, _ = _ConvParams(self.out_channels[2], (3, 3), bc * 8,
+                                    use_bias=False, name="out3")()
+                kfold = prepared(self, "fold3", lambda: _fold_stage3_kernel(
+                    w2, b2, w3, dt))
+                ones = jnp.ones(intra.shape[:-1] + (1,), intra.dtype)
+                z = jnp.concatenate([intra, c1, ones], axis=-1)
+                kk = (kfold.shape[0] // 2, kfold.shape[1] // 2)
+                out3 = jax.lax.conv_general_dilated(
+                    z.astype(kfold.dtype), kfold, (1, 1),
+                    ((kk[0], kk[0]), (kk[1], kk[1])),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                outputs["stage3"] = from_s2d(out3, 2)
+            elif self.s2d:
                 # intra is native 1/4 res; c1 is the s2d(2) repr of 1/2
                 # res (same physical resolution) — merge and run the
                 # stage-3 head without leaving s2d

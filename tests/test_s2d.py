@@ -452,3 +452,49 @@ def test_context_net_s2d_parity(rng):
                     jax.tree_util.tree_leaves(gstats)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=5e-5)
+
+
+def test_feature_net_fold_head_parity(rng):
+    """FeatureNet(s2d, fold_head=True) == FeatureNet(s2d), same params
+    (identical tree incl. inner2/out3), with RANDOM inner2 bias so the
+    ones-channel bias fold is exercised, plus gradient parity through
+    the folded head (the fold must stay differentiable in train mode)."""
+    from diffmvs_tpu.nn.feature import FeatureNet
+
+    net = FeatureNet(base_channels=8, out_channels=(48, 32, 16), s2d=True)
+    net_f = FeatureNet(base_channels=8, out_channels=(48, 32, 16),
+                       s2d=True, fold_head=True)
+    x = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x, False)
+    vf = net_f.init(jax.random.PRNGKey(0), x, False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
+            == jax.tree_util.tree_map(lambda a: a.shape, vf))
+
+    # randomize every param (esp. inner2 bias, zero at init)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    variables = jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape, l.dtype) * 0.1
+                  for k, l in zip(keys, leaves)])
+
+    want = net.apply(variables, x, False)
+    got = net_f.apply(variables, x, False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+
+    # gradient parity: the fold is plain algebra on the params, so grads
+    # through the folded head must match the unfolded path
+    def loss(net_, v):
+        out = net_.apply(v, x, False)
+        return sum(jnp.sum(o ** 2) for o in out.values())
+
+    g_want = jax.grad(lambda v: loss(net, v))(variables)
+    g_got = jax.grad(lambda v: loss(net_f, v))(variables)
+    flat_w = {jax.tree_util.keystr(p): v for p, v
+              in jax.tree_util.tree_leaves_with_path(g_want)}
+    flat_g = {jax.tree_util.keystr(p): v for p, v
+              in jax.tree_util.tree_leaves_with_path(g_got)}
+    for p, v in flat_w.items():
+        np.testing.assert_allclose(np.asarray(flat_g[p]), np.asarray(v),
+                                   rtol=5e-4, atol=2e-4, err_msg=p)
