@@ -80,12 +80,16 @@ def bench_io(workers: int):
         }))
 
 
-def bench_train(bwd: str = ""):
+def bench_train(bwd: str = "", overrides: str = ""):
     """Jitted train-step throughput at the reference's training shape
     (DTU 640x512, B=4, N=5 — train.py:179-231). Prints its own JSON
     line; tracked so kernel work cannot regress training silently.
     bwd: override the warp kernel's backward mode
-    ("recompute"|"analytic"|"pallas", config.ModelConfig.warp_bwd)."""
+    ("recompute"|"analytic"|"pallas", config.ModelConfig.warp_bwd).
+    overrides: comma-separated ModelConfig field=value pairs, applied
+    AFTER the fast-path resolver — the train-path A/B hook (the s2d
+    layouts pay s^2 x FLOPs in train mode where phase_opt must fall
+    back, so the best training config is not the inference one)."""
     import dataclasses
 
     import jax
@@ -116,6 +120,11 @@ def bench_train(bwd: str = ""):
         compute_dtype="bfloat16", remat=True))
     if bwd:
         model_cfg = dataclasses.replace(model_cfg, warp_bwd=bwd)
+    if overrides:
+        import ast as _ast
+        kv = dict(p.split("=", 1) for p in overrides.split(","))
+        model_cfg = dataclasses.replace(
+            model_cfg, **{k: _ast.literal_eval(v) for k, v in kv.items()})
     cfg = TrainConfig(model=model_cfg, batch_size=b)
     model = CasDiffMVS(model_cfg)
 
@@ -163,6 +172,7 @@ def bench_train(bwd: str = ""):
         "unit": "samples/s/chip",
         "sec_per_step": round(per_step, 4),
         "vs_baseline": None,   # reference publishes no training throughput
+        **({"config": overrides} if overrides else {}),
     }))
 
 
@@ -354,6 +364,10 @@ def main(batch: int = 0, overrides: str = ""):
         "value": round(value, 4),
         "unit": "depth_maps/s/chip",
         "vs_baseline": round(value / 20.0, 4),
+        # A/B provenance: non-default knobs, so harvested lines with the
+        # same metric name stay distinguishable (VERDICT r3 weak #4)
+        **({"config": overrides} if overrides else {}),
+        **({"batch": bsz} if batch else {}),
     }))
 
 
@@ -388,7 +402,7 @@ if __name__ == "__main__":
     elif a.io:
         bench_io(a.workers)
     elif a.train:
-        bench_train(a.bwd)
+        bench_train(a.bwd, a.overrides)
     else:
         if a.check:
             check_kernel_parity()

@@ -1,0 +1,80 @@
+"""Interpret-mode parity tests for the fused conv+affine+ReLU kernel
+(ops/pallas/conv2d.py) against the XLA reference implementation.
+
+Covers the shapes the kernel serves in the model: centered 3x3s (FPN
+heads, UNet stacks), the phase-opt trunk's offset-0 2x2s, 1x1 heads,
+non-dividing row tiles, odd widths, N > 1, bf16 and f32, with and
+without the BatchNorm-inference affine."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused, conv2d_fused_ref
+
+
+def _run(n, h, w, cin, cout, kh, kw, offset, relu, affine, dtype,
+         rows_per_step=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32) * 0.5,
+                    dtype)
+    wk = jnp.asarray(rng.randn(kh, kw, cin, cout).astype(np.float32) * 0.1)
+    scale = shift = None
+    if affine:
+        scale = jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5)
+        shift = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.2)
+    got = conv2d_fused(x, wk, scale, shift, offset=offset, relu=relu,
+                       rows_per_step=rows_per_step, interpret=True)
+    want = conv2d_fused_ref(x, wk, scale, shift, offset=offset, relu=relu)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    tol = dict(rtol=2e-2, atol=2e-2) if dtype == jnp.bfloat16 else \
+        dict(rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), **tol)
+
+
+@pytest.mark.parametrize("kh,kw,offset", [
+    (3, 3, None),        # centered 3x3 (FPN head / UNet)
+    (2, 2, (0, 0)),      # phase-opt trunk trimmed window
+    (1, 1, (0, 0)),      # 1x1 head
+    (3, 3, (0, 0)),      # uncentered 3x3 (min_span s2d expansion)
+    (2, 2, (1, 1)),      # bottom-right aligned window
+])
+def test_conv2d_fused_offsets(kh, kw, offset):
+    _run(2, 19, 23, 16, 24, kh, kw, offset, relu=False, affine=False,
+         dtype=jnp.float32)
+
+
+def test_conv2d_fused_affine_relu():
+    _run(1, 16, 30, 8, 16, 3, 3, None, relu=True, affine=True,
+         dtype=jnp.float32)
+
+
+def test_conv2d_fused_bf16():
+    _run(2, 17, 33, 16, 32, 2, 2, (0, 0), relu=True, affine=True,
+         dtype=jnp.bfloat16)
+
+
+def test_conv2d_fused_single_tile():
+    # h <= rows_per_step: one grid row-tile (first == last)
+    _run(1, 6, 21, 8, 8, 3, 3, None, relu=False, affine=False,
+         dtype=jnp.float32)
+
+
+def test_conv2d_fused_two_tiles():
+    # exactly two tiles: no "middle" DMA case emitted
+    _run(1, 16, 21, 8, 8, 3, 3, None, relu=False, affine=True,
+         dtype=jnp.float32)
+
+
+def test_conv2d_fused_ragged_last_tile():
+    # h % rows_per_step != 0: masked output rows + re-zeroed slab rows
+    _run(3, 21, 27, 8, 8, 3, 3, None, relu=True, affine=True,
+         dtype=jnp.float32)
+
+
+def test_conv2d_fused_trunk_shape():
+    # scaled-down analogue of the s2d trunk conv (offset-0 2x2, wide W)
+    _run(2, 10, 101, 48, 64, 2, 2, (0, 0), relu=True, affine=True,
+         dtype=jnp.bfloat16)
