@@ -45,8 +45,12 @@ def build_argparser():
     p.add_argument("--geo_depth_thres", type=float, default=0.01)
     p.add_argument("--photo_thres", nargs="+", type=float,
                    default=[0.3, 0.0, 0.0])
-    p.add_argument("--workers", type=int, default=0,
-                   help="input-pipeline worker processes (reference: 2)")
+    p.add_argument("--workers", type=int, default=-1,
+                   help="input-pipeline worker processes; -1 = one per "
+                        "CPU core (the measured per-core decode ceiling "
+                        "is ~6 view_sets/s — a 20 maps/s chip needs "
+                        "3-4 cores feeding it; reference uses 2, "
+                        "test.py:85). 0 = in-process loading.")
     p.add_argument("--seed", type=int, default=123)
     return p
 
@@ -245,6 +249,8 @@ def main(argv=None):
     from diffmvs_tpu.config import MODEL_PRESETS
 
     args = build_argparser().parse_args(argv)
+    if args.workers < 0:
+        args.workers = os.cpu_count() or 1
     preset = args.preset or default_preset(args.method, args.dataset)
     cfg = MODEL_PRESETS[preset]
     if args.numdepth_initial:
