@@ -58,23 +58,39 @@ class ConvBnActS2D(nn.Module):
     min_span: bool = False
     offset: int = 0
     clip: Tuple[int, int, int, int] = (0, 0, 0, 0)
+    # pallas (inference only): run conv + BN affine + ReLU as ONE fused
+    # Pallas kernel (ops/pallas/conv2d.py) instead of an XLA conv + two
+    # elementwise passes. Same params/"wexp" trees; f32 accumulation
+    # (tighter than the XLA bf16 path). Train mode falls back (the
+    # kernel has no vjp and BN needs batch stats).
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
         cin = int(x.shape[-1]) // (self.s * self.s)
-        x = ConvS2D(
+        conv = ConvS2D(
             self.features, (k, k), s=self.s, stride=self.strides,
             use_bias=False, kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(cin * k * k),
             min_span=self.min_span, offset=self.offset,
-            dtype=self.dtype, name="conv")(x)
+            dtype=self.dtype, name="conv")
         so = self.s // self.strides
-        x = BatchNormS2D(s=so,
-                         use_running_average=not train,
-                         momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="bn")(x)
-        x = nn.relu(x)
+        bn = BatchNormS2D(s=so, use_running_average=not train,
+                          momentum=0.9, epsilon=1e-5,
+                          dtype=self.dtype, name="bn")
+        if (self.pallas and not train
+                and (self.s > 1 or self.strides == 1)):
+            from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
+
+            wex, _, pad_lo = conv(x, return_prepped=True)
+            mul, add = bn(None, return_affine=True,
+                          channels=self.features * so * so)
+            xd = x.astype(self.dtype) if self.dtype else x
+            x = conv2d_fused(xd, wex, mul, add, offset=pad_lo, relu=True,
+                             out_dtype=xd.dtype)
+        else:
+            x = nn.relu(bn(conv(x)))
         if any(self.clip):
             x = zero_px_border_s2d(x, so, *self.clip)
         return x
@@ -154,17 +170,33 @@ class FeatureNet(nn.Module):
     # f32 reassociation. Works in train mode too (the fold is plain
     # differentiable algebra on the params when no "wexp" is bound).
     fold_head: bool = False
+    # conv_pallas (inference-only): execute every stride-1-on-grid
+    # conv+BN+ReLU through the fused Pallas kernel (ConvBnActS2D.pallas,
+    # ops/pallas/conv2d.py), and the no-BN heads (out2, folded out3)
+    # through its affine-free form. Same params; trace attribution
+    # showed these convs 3-7x off roofline under XLA.
+    conv_pallas: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         bc, dt = self.base_channels, self.dtype
+        pallas = self.conv_pallas and not train
+
+        def cba_nat(name, feats, k=3):
+            """Native stride-1 centered ConvBnAct; fused-kernel form
+            when conv_pallas (same param tree: ConvS2D(s=1) ==
+            nn.Conv, BatchNormS2D(s=1) == nn.BatchNorm)."""
+            if pallas:
+                return ConvBnActS2D(feats, k, 1, s=1, dtype=dt,
+                                    pallas=True, name=name)
+            return ConvBnAct(feats, k, 1, k // 2, dtype=dt, name=name)
 
         if self.s2d and self.phase_opt and not train:
             def cba(name, feats, k, stride, s, offset, clip):
                 return ConvBnActS2D(feats, k, stride, s=s, dtype=dt,
                                     min_span=True, offset=offset,
-                                    clip=clip, name=name)
+                                    clip=clip, pallas=pallas, name=name)
             h2, w2 = x.shape[1] // 2, x.shape[2] // 2
             xp = jnp.pad(x.astype(dt) if dt is not None else x,
                          ((0, 0), (8, 0), (8, 0), (0, 0)))
@@ -177,16 +209,14 @@ class FeatureNet(nn.Module):
             c1 = cba("conv1_2", bc * 2, 3, 1, 2, 0,
                      (0, 0, 0, 0))(c1, train)            # delta = 0
             c1 = c1[:, :h2 // 2, :w2 // 2]               # drop pad leftover
-            c2 = ConvBnActS2D(bc * 4, 5, 2, s=2, dtype=dt,
+            c2 = ConvBnActS2D(bc * 4, 5, 2, s=2, dtype=dt, pallas=pallas,
                               name="conv2_0")(c1, train)
-            c2 = ConvBnAct(bc * 4, 3, 1, 1, dtype=dt,
-                           name="conv2_1")(c2, train)
-            c2 = ConvBnAct(bc * 4, 3, 1, 1, dtype=dt,
-                           name="conv2_2")(c2, train)
+            c2 = cba_nat("conv2_1", bc * 4)(c2, train)
+            c2 = cba_nat("conv2_2", bc * 4)(c2, train)
         elif self.s2d:
             def cba(name, feats, k, stride, s):
                 return ConvBnActS2D(feats, k, stride, s=s, dtype=dt,
-                                    name=name)
+                                    pallas=pallas, name=name)
             # cast to the compute dtype BEFORE the relayout: halves the
             # one-hot-conv to_s2d's traffic (the first ConvBnAct casts
             # to dt anyway, so only the relayout itself changes dtype)
@@ -199,10 +229,8 @@ class FeatureNet(nn.Module):
             c1 = cba("conv1_2", bc * 2, 3, 1, 2)(c1, train)
 
             c2 = cba("conv2_0", bc * 4, 5, 2, 2)(c1, train)   # -> native
-            c2 = ConvBnAct(bc * 4, 3, 1, 1, dtype=dt,
-                           name="conv2_1")(c2, train)
-            c2 = ConvBnAct(bc * 4, 3, 1, 1, dtype=dt,
-                           name="conv2_2")(c2, train)
+            c2 = cba_nat("conv2_1", bc * 4)(c2, train)
+            c2 = cba_nat("conv2_2", bc * 4)(c2, train)
         else:
             c0 = ConvBnAct(bc, 3, 1, 1, dtype=dt, name="conv0_0")(x, train)
             c0 = ConvBnAct(bc, 3, 1, 1, dtype=dt, name="conv0_1")(c0, train)
@@ -222,8 +250,8 @@ class FeatureNet(nn.Module):
                            name="conv2_2")(c2, train)
 
         c3 = ConvBnAct(bc * 8, 5, 2, 2, dtype=dt, name="conv3_0")(c2, train)
-        c3 = ConvBnAct(bc * 8, 3, 1, 1, dtype=dt, name="conv3_1")(c3, train)
-        c3 = ConvBnAct(bc * 8, 3, 1, 1, dtype=dt, name="conv3_2")(c3, train)
+        c3 = cba_nat("conv3_1", bc * 8)(c3, train)
+        c3 = cba_nat("conv3_2", bc * 8)(c3, train)
 
         outputs = {}
         intra = c3
@@ -232,8 +260,17 @@ class FeatureNet(nn.Module):
 
         intra = upsample_nearest(intra, 2) + conv(
             bc * 8, 1, use_bias=True, dtype=dt, name="inner1")(c2)
-        outputs["stage2"] = conv(self.out_channels[1], 3, padding=1,
-                                 use_bias=False, dtype=dt, name="out2")(intra)
+        if pallas:
+            from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
+
+            w2h, _ = _ConvParams(self.out_channels[1], (3, 3), bc * 8,
+                                 use_bias=False, name="out2")()
+            outputs["stage2"] = conv2d_fused(
+                intra, w2h.astype(intra.dtype))
+        else:
+            outputs["stage2"] = conv(self.out_channels[1], 3, padding=1,
+                                     use_bias=False, dtype=dt,
+                                     name="out2")(intra)
 
         if self.out_channels[2] > 0:
             if self.s2d and self.fold_head:
@@ -248,11 +285,16 @@ class FeatureNet(nn.Module):
                     w2, b2, w3, dt))
                 ones = jnp.ones(intra.shape[:-1] + (1,), intra.dtype)
                 z = jnp.concatenate([intra, c1, ones], axis=-1)
-                kk = (kfold.shape[0] // 2, kfold.shape[1] // 2)
-                out3 = jax.lax.conv_general_dilated(
-                    z.astype(kfold.dtype), kfold, (1, 1),
-                    ((kk[0], kk[0]), (kk[1], kk[1])),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                if pallas:
+                    from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
+
+                    out3 = conv2d_fused(z.astype(kfold.dtype), kfold)
+                else:
+                    kk = (kfold.shape[0] // 2, kfold.shape[1] // 2)
+                    out3 = jax.lax.conv_general_dilated(
+                        z.astype(kfold.dtype), kfold, (1, 1),
+                        ((kk[0], kk[0]), (kk[1], kk[1])),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 outputs["stage3"] = from_s2d(out3, 2)
             elif self.s2d:
                 # intra is native 1/4 res; c1 is the s2d(2) repr of 1/2

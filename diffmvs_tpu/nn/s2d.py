@@ -492,7 +492,13 @@ class ConvS2D(nn.Module):
     offset: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_prepped: bool = False):
+        """return_prepped: declare params and return the prepared
+        (wex, bex, (pad_lo_h, pad_lo_w)) WITHOUT running the conv —
+        the hook callers use to execute the same math fused elsewhere
+        (ops/pallas/conv2d.py). Identical param + "wexp" trees either
+        way; pad_lo is the padding the XLA path would use (== the
+        fused kernel's window offset)."""
         kh, kw = self.kernel_size
         cin = int(x.shape[-1]) // (self.s * self.s)
         kernel = self.param("kernel", self.kernel_init,
@@ -504,10 +510,15 @@ class ConvS2D(nn.Module):
             wex, bex = prepared(self, "wexm", lambda: prep_conv_s2d_min(
                 kernel, bias, self.s, self.stride, self.offset,
                 dtype=dtype))
+            if return_prepped:
+                lo = _min_pads(kh, self.s, self.stride, self.offset)[0]
+                return wex, bex, (lo, lo)
             return run_conv_s2d_min(x, wex, bex, kh, self.s, self.stride,
                                     self.offset, dtype=dtype)
         wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
             kernel, bias, self.s, self.stride, dtype=dtype))
+        if return_prepped:
+            return wex, bex, (wex.shape[0] // 2, wex.shape[1] // 2)
         return run_conv_s2d(x, wex, bex, self.s, self.stride, dtype=dtype)
 
 
@@ -598,9 +609,14 @@ class BatchNormS2D(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        """x: [..., C*s*s] (any number of leading batch/spatial dims)."""
-        cs = x.shape[-1]
+    def __call__(self, x, return_affine: bool = False, channels: int = 0):
+        """x: [..., C*s*s] (any number of leading batch/spatial dims).
+
+        return_affine: declare params and return the prepared inference
+        (mul, add) pair WITHOUT applying it (running-average mode only)
+        — the hook fused conv+BN+ReLU callers use (ops/pallas/conv2d).
+        `channels` supplies C*s*s when x is None."""
+        cs = channels if x is None else x.shape[-1]
         ss = self.s * self.s
         c = cs // ss
         scale = self.param("scale", nn.initializers.ones, (c,),
@@ -619,9 +635,13 @@ class BatchNormS2D(nn.Module):
                 repeat_channels(
                     bias - mean * scale
                     * jax.lax.rsqrt(var + self.epsilon), self.s)))
+            if return_affine:
+                return mul, add
             y = x.astype(jnp.float32) * mul + add
             return y.astype(self.dtype or x.dtype)
         else:
+            assert not return_affine, \
+                "return_affine needs running-average mode"
             xf = x.astype(jnp.float32).reshape(x.shape[:-1] + (c, ss))
             red = tuple(range(x.ndim - 1)) + (x.ndim,)
             mean = xf.mean(axis=red)

@@ -152,7 +152,7 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
 
 def conv2d_fused(x, w, scale=None, shift=None, *, offset=None,
                  relu: bool = False, out_dtype=None, rows_per_step: int = 8,
-                 interpret: bool = False):
+                 interpret: Optional[bool] = None):
     """y[n,i,j,o] = act(sum_{dy,dx,c} x[n, i+dy-oh, j+dx-ow, c]
                         * w[dy,dx,c,o] * scale[o] + shift[o])
 
@@ -163,6 +163,8 @@ def conv2d_fused(x, w, scale=None, shift=None, *, offset=None,
     phase-opt trunk's top-left-aligned trimmed window. Output
     [N, H, W, Cout], same spatial size (stride 1), zero padding.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n, h, wd, cin = x.shape
     kh, kw, wcin, cout = w.shape
     assert wcin == cin, (w.shape, x.shape)

@@ -78,3 +78,60 @@ def test_conv2d_fused_trunk_shape():
     # scaled-down analogue of the s2d trunk conv (offset-0 2x2, wide W)
     _run(2, 10, 101, 48, 64, 2, 2, (0, 0), relu=True, affine=True,
          dtype=jnp.bfloat16)
+
+
+def _rand_vars(variables, seed=7):
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape, l.dtype) * 0.1 + (
+            1.0 if l.ndim == 1 else 0.0)  # keep BN vars positive-ish
+                  for k, l in zip(keys, leaves)])
+
+
+@pytest.mark.parametrize("phase_opt", [False, True])
+def test_feature_net_conv_pallas_parity(phase_opt):
+    """FeatureNet(conv_pallas=True) == FeatureNet (same params) through
+    the fused kernel in interpret mode, at the judged flag set
+    (s2d + fold_head [+ phase_opt])."""
+    from diffmvs_tpu.nn.feature import FeatureNet
+
+    rng = np.random.RandomState(0)
+    kw = dict(base_channels=8, out_channels=(48, 32, 16), s2d=True,
+              phase_opt=phase_opt, fold_head=True)
+    net = FeatureNet(**kw)
+    net_p = FeatureNet(**kw, conv_pallas=True)
+    x = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x, False)
+    assert (jax.tree_util.tree_map(jnp.shape, variables)
+            == jax.tree_util.tree_map(
+                jnp.shape, net_p.init(jax.random.PRNGKey(0), x, False)))
+    variables = _rand_vars(variables)
+    # positive running variances (rsqrt)
+    variables = jax.tree_util.tree_map(lambda a: jnp.abs(a) + 0.1,
+                                       variables)
+
+    want = net.apply(variables, x, False)
+    got = net_p.apply(variables, x, False)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k], np.float32), np.asarray(want[k], np.float32),
+            rtol=5e-3, atol=5e-4, err_msg=k)
+
+
+def test_context_net_conv_pallas_parity():
+    from diffmvs_tpu.nn.context import ContextNet
+
+    rng = np.random.RandomState(1)
+    net = ContextNet(out_dim=(64, 64, 36), s2d=True)
+    net_p = ContextNet(out_dim=(64, 64, 36), s2d=True, conv_pallas=True)
+    x = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x, False)
+    variables = jax.tree_util.tree_map(lambda a: jnp.abs(a) + 0.1,
+                                       _rand_vars(variables))
+    want = net.apply(variables, x, False)
+    got = net_p.apply(variables, x, False)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k], np.float32), np.asarray(want[k], np.float32),
+            rtol=5e-3, atol=5e-4, err_msg=k)
