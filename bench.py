@@ -285,9 +285,10 @@ def main(batch: int = 0, overrides: str = ""):
     if platform == "cpu":   # smoke-run configuration
         bsz, h, w, cfg_nd, nd_init, reps = 1, 128, 160, 64, 16, 2
     else:
-        # batch 4 view-sets per forward (production serving batches scenes'
-        # view-sets; +15% throughput over B=1)
-        bsz, h, w, cfg_nd, nd_init, reps = 4, 1152, 1600, 384, 48, 6
+        # batch 8 view-sets per forward (production serving batches
+        # scenes' view-sets; measured 17.80 vs 15.27 maps/s at B=4 —
+        # docs/bench_r4.json; fits comfortably in one chip's HBM)
+        bsz, h, w, cfg_nd, nd_init, reps = 8, 1152, 1600, 384, 48, 6
     if batch:
         bsz = batch
 

@@ -143,10 +143,12 @@ def trace_full():
     parse_trace_grouped(logdir)
 
 
-def trace_component(which):
+def trace_component(which, overrides: str = ""):
     """Trace one composed forward component at the bench configuration
     (stage2/stage3 refinement incl. pallas cost volumes, or the feature
-    net) and print the grouped per-source-line attribution."""
+    net) and print the grouped per-source-line attribution.
+    overrides: comma-separated ModelConfig field=value pairs (same
+    syntax as bench.py --set)."""
     import dataclasses
 
     import jax
@@ -166,6 +168,11 @@ def trace_component(which):
     cfg = tpu_optimized(dataclasses.replace(
         CASDIFFMVS, numdepth_initial=48, numdepth=ND,
         compute_dtype="bfloat16"))
+    if overrides:
+        import ast as _ast
+        kv = dict(p.split("=", 1) for p in overrides.split(","))
+        cfg = dataclasses.replace(
+            cfg, **{k: _ast.literal_eval(v) for k, v in kv.items()})
     dt = cfg.dtype
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)
@@ -174,7 +181,10 @@ def trace_component(which):
     if which == "feature":
         fnet = FeatureNet(base_channels=cfg.base_channels,
                           out_channels=cfg.feat_dim_stage,
-                          s2d=cfg.feature_s2d, dtype=dt)
+                          s2d=cfg.feature_s2d,
+                          phase_opt=cfg.feature_phase_opt,
+                          fold_head=cfg.feature_fold_head,
+                          conv_pallas=cfg.conv_pallas, dtype=dt)
         flat = jnp.asarray(imgs.reshape(B * V, H, W, 3))
         fvars = fnet.init(key, flat[:1], False)
         from diffmvs_tpu.nn.s2d import prepare_wexp
@@ -322,6 +332,10 @@ if __name__ == "__main__":
     elif sys.argv[1] == "full":
         trace_full()
     elif sys.argv[1] in ("stage2", "stage3", "feature"):
-        trace_component(sys.argv[1])
+        # optional: --set field=value[,field=value] (bench.py syntax)
+        ov = ""
+        if len(sys.argv) > 3 and sys.argv[2] == "--set":
+            ov = sys.argv[3]
+        trace_component(sys.argv[1], ov)
     else:
         main(sys.argv[1])
