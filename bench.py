@@ -111,11 +111,12 @@ def bench_train(bwd: str = "", overrides: str = ""):
     else:
         b, h, w, nd, nd_init, reps = 4, 512, 640, 384, 48, 4
 
-    # the full TPU fast path now covers training too: the Pallas kernel
-    # carries a custom_vjp (backward recomputes through the exact XLA
-    # path), and the s2d layouts differentiate natively
-    from diffmvs_tpu.config import tpu_optimized
-    model_cfg = tpu_optimized(dataclasses.replace(
+    # the SHIPPED training config (cli/train.py): plain XLA warp, no
+    # s2d layouts — measured fastest (3.44 samples/s vs 1.78 best for
+    # the inference fast path; see config.train_optimized and
+    # docs/bench_r4.json). --set/--bwd flip pieces back on for A/Bs.
+    from diffmvs_tpu.config import train_optimized
+    model_cfg = train_optimized(dataclasses.replace(
         CASDIFFMVS, numdepth_initial=nd_init, numdepth=nd,
         compute_dtype="bfloat16", remat=True))
     if bwd:

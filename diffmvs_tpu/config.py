@@ -287,6 +287,20 @@ DIFFMVS_MVG = dataclasses.replace(DIFFMVS, scale=(0.0, 0.125, 0.0))
 CASDIFFMVS_TANK = dataclasses.replace(CASDIFFMVS_MVG, numdepth_initial=96)
 DIFFMVS_TANK = dataclasses.replace(DIFFMVS_MVG, numdepth_initial=96)
 
+def train_optimized(cfg: ModelConfig, backend: str = None) -> ModelConfig:
+    """Training-path resolver: returns cfg UNCHANGED — the dataclass
+    defaults (XLA warp, no s2d layouts) ARE the fastest measured
+    training configuration. Hardware decision rows (docs/bench_r4.json,
+    v5e, B=4 640x512): plain XLA 3.44 samples/s; the inference fast
+    path (pallas_full + s2d) 1.78 best-case (bwd=pallas), 1.47
+    (recompute), 0.68 (analytic); pallas warp without s2d 0.66. The
+    s2d layouts pay s^2 x conv FLOPs in train mode (phase_opt must
+    fall back for BN batch stats) and the banded warp backwards don't
+    make it back. This function exists so entry points state the
+    decision explicitly instead of silently relying on defaults."""
+    return cfg
+
+
 def tpu_optimized(cfg: ModelConfig, backend: str = None) -> ModelConfig:
     """Resolve the TPU fast path onto a preset: the fused Pallas
     warp+correlation kernel (runtime-guarded) and the s2d layouts for

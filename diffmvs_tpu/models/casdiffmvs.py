@@ -110,6 +110,7 @@ class CasDiffMVS(nn.Module):
                 warp_native_agg=cfg.warp_native_agg,
                 unet_s2d=cfg.unet_s2d,
                 encoder_s2d=cfg.encoder_s2d,
+                conv_pallas=cfg.conv_pallas,
                 unroll=cfg.unroll_iters,
                 dtype=dt,
                 name=f"update_block{s}"))

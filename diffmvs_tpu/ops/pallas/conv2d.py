@@ -165,13 +165,77 @@ def conv2d_fused(x, w, scale=None, shift=None, *, offset=None,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    kh, kw = w.shape[:2]
+    oh, ow = (kh // 2, kw // 2) if offset is None else (
+        offset if isinstance(offset, tuple) else (offset, offset))
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    op = _fused_op(oh, ow, relu, out_dtype.name, rows_per_step, interpret,
+                   scale is not None)
+    if scale is None:
+        return op(x, w)
+    cout = w.shape[-1]
+    return op(x, w, jnp.asarray(scale, jnp.float32).reshape(1, cout),
+              jnp.asarray(shift, jnp.float32).reshape(1, cout))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_op(oh, ow, relu, out_dtype_name, rows_per_step, interpret,
+              has_affine):
+    """custom_vjp wrapper per static config: forward = the Pallas
+    kernel; backward = jax.vjp through the XLA reference (the
+    "recompute" pattern the warp kernel uses) — so the fused path is
+    safe under differentiation (remat re-forwards, train mode) without
+    per-module train gating."""
+    kwargs = dict(offset=(oh, ow), relu=relu,
+                  out_dtype=jnp.dtype(out_dtype_name))
+
+    def fwd_impl(x, w, scale, shift):
+        return _conv2d_pallas(x, w, scale, shift,
+                              rows_per_step=rows_per_step,
+                              interpret=interpret, **kwargs)
+
+    def ref(x, w, scale, shift):
+        return conv2d_fused_ref(x, w, scale, shift, **kwargs)
+
+    if has_affine:
+        @jax.custom_vjp
+        def op(x, w, scale, shift):
+            return fwd_impl(x, w, scale, shift)
+
+        def vfwd(x, w, scale, shift):
+            return op(x, w, scale, shift), (x, w, scale, shift)
+
+        def vbwd(res, g):
+            _, vjp = jax.vjp(ref, *res)
+            return vjp(g)
+
+        op.defvjp(vfwd, vbwd)
+        return op
+
+    @jax.custom_vjp
+    def op2(x, w):
+        return fwd_impl(x, w, None, None)
+
+    def vfwd2(x, w):
+        return op2(x, w), (x, w)
+
+    def vbwd2(res, g):
+        x, w = res
+        _, vjp = jax.vjp(lambda a, b: ref(a, b, None, None), x, w)
+        return vjp(g)
+
+    op2.defvjp(vfwd2, vbwd2)
+    return op2
+
+
+def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
+                   rows_per_step, interpret):
+    """The raw pallas_call (see conv2d_fused for semantics)."""
     n, h, wd, cin = x.shape
     kh, kw, wcin, cout = w.shape
     assert wcin == cin, (w.shape, x.shape)
-    oh, ow = (kh // 2, kw // 2) if offset is None else (
-        offset if isinstance(offset, tuple) else (offset, offset))
+    oh, ow = offset
     assert 0 <= oh < kh and 0 <= ow < kw
-    out_dtype = out_dtype or x.dtype
     th = min(rows_per_step, _round_up(h, 1))
     nr = -(-h // th)
     # wp: padded slab width. Multiple of 16 keeps the (th, wp, cin) ->
@@ -180,10 +244,6 @@ def conv2d_fused(x, w, scale=None, shift=None, *, offset=None,
     wp = _round_up(wd + kw - 1, 16)
 
     has_affine = scale is not None
-    if has_affine:
-        scale = jnp.asarray(scale, jnp.float32).reshape(1, cout)
-        shift = jnp.asarray(shift, jnp.float32).reshape(1, cout)
-
     kern = functools.partial(
         _conv_kernel, nr=nr, th=th, kh=kh, kw=kw, off_h=oh, off_w=ow,
         h=h, w=wd, wp=wp, relu=relu, out_dtype=out_dtype)
