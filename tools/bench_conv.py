@@ -104,6 +104,8 @@ def main():
             except Exception as e:  # noqa: BLE001 — report, keep going
                 print(json.dumps({"metric": f"conv_{name}_{impl}",
                                   "error": repr(e)[:200]}))
+                import traceback
+                traceback.print_exc()
                 continue
             print(json.dumps({
                 "metric": f"conv_{name}_{impl}",

@@ -15,11 +15,13 @@ run() {
 }
 
 echo "=== hw r4 phase4 $(date) ===" | tee -a "$LOG"
-# 1. conv_pallas A/B at B=4 (same batch as every prior row)
-T=3600 run python bench.py --batch 4 --set conv_pallas=True
-# 2. new default judged line: B=8 (+ fold_head) — and with the kernel
+# 1. new default judged line: B=8 + fold_head (no kernel dependency)
 T=3600 run python bench.py
+# 2. conv-kernel debug row: full Mosaic error with traceback
+T=1200 run python tools/bench_conv.py --only trunk1
+# 3. conv_pallas rows (work iff the Mosaic fix landed by the time
+#    this row starts; they fail fast otherwise)
+T=3600 run python bench.py --batch 4 --set conv_pallas=True
 T=3600 run python bench.py --set conv_pallas=True
-# 3. post-kernel feature attribution
 T=1800 run python tools/trace_op.py feature --set conv_pallas=True
 echo "=== phase4 done $(date) ===" | tee -a "$LOG"
