@@ -6,9 +6,13 @@ running 3-7x off their max(MXU, HBM) roofline under XLA — ~37 ms for
 five 2x2 s2d trunk convs whose dense floor is ~5 ms at bench scale.
 This kernel owns the whole pipeline instead: double-buffered row-slab
 DMA from HBM, one MXU matmul per kernel tap from VMEM (taps are free
-row slices + cheap sublane rolls, no im2col materialisation), f32
-accumulation, and the inference BatchNorm affine + ReLU fused into the
-epilogue — HBM traffic is exactly in + out, the roofline minimum.
+row slices; column shifts are 32-bit rolls of the f32 partial
+products, no im2col materialisation), f32 accumulation, and the
+inference BatchNorm affine + ReLU fused into the epilogue. HBM traffic
+is in + out plus an alignment tax: Mosaic manual DMAs require the
+slice's minor two dims tile-aligned, so x is pre-padded (W to %16,
+Cin to %128) by one XLA pad pass — still well under the XLA conv's
+measured 3-7x overhead for cin >= 48.
 
 Scope: stride-1 KxK (K in 1..3) convs at an arbitrary static window
 offset (covers centered 3x3s, the phase-opt trunk's offset-0 trimmed
@@ -38,16 +42,43 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _row_classes(nr: int, rh: int, th: int, off_h: int, h: int):
+    """Static per-tile-class DMA row windows.
+
+    Returns [(r2_match, dlo, dhi)]: tile class `r2_match` (an int, or
+    ("mid", lo, hi) for the open middle range, or None == always) copies
+    slab rows [dlo, dhi) from image rows [r2*th - off_h + dlo, ...).
+    dlo skips rows above the image (first tile); dhi clamps rows below
+    it — the bottom halo can cross into the last tile's rows (or past
+    the image entirely when the last tile is shorter than the halo), so
+    the second-to-last and first-of-two tiles clamp too.
+    """
+    last_hi = min(h - (nr - 1) * th + off_h, rh)
+    if nr == 1:
+        return [(None, off_h, last_hi)]
+    out = [(0, off_h, min(rh, h + off_h))]
+    if nr > 2:
+        if nr > 3:
+            out.append((("mid", 0, nr - 2), 0, rh))
+        out.append((nr - 2, 0, min(rh, h - (nr - 2) * th + off_h)))
+    out.append((nr - 1, 0, last_hi))
+    return out
+
+
 def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
                  *, nr: int, th: int, kh: int, kw: int, off_h: int,
                  off_w: int, h: int, w: int, wp: int, relu: bool,
                  out_dtype):
     """One grid step computes `th` output rows of one image.
 
-    slab: [2, th+kh-1, wp, cin] double-buffered input rows; cols
-    [off_w : off_w+w] hold image data, the rest stay zero (zeroed once
-    at step 0; DMAs never write them). Row edges beyond the image are
-    re-zeroed on boundary tiles after the DMA lands.
+    slab: [2, th+kh-1, wp, cp] double-buffered input rows. x arrives
+    pre-padded (see _conv2d_pallas) to width wp (data at cols [0, w),
+    zero tail) and channels cp, so every DMA copies full aligned rows:
+    Mosaic requires memref_slice sizes on the minor two dims to be
+    tile-aligned (sublane %8, lane %128) — hardware-verified failure
+    modes: "Slice shape along dimension 2 must be aligned to tiling
+    (8), but is 402" / "dimension 3 ... (128), but is 64". Rows beyond
+    the image (top/bottom halo) are re-zeroed after the DMA lands.
     """
     n_i = pl.program_id(0)
     r_i = pl.program_id(1)
@@ -55,25 +86,20 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
     total = pl.num_programs(0) * nr
     rh = th + kh - 1
     slot = jax.lax.rem(step, 2)
+    classes = _row_classes(nr, rh, th, off_h, h)
 
-    # row-copy geometry is static per (first?, last?) tile class:
-    #   dst_lo = off_h on the first tile (rows above the image), else 0
-    #   dst_hi = h - (nr-1)*th + off_h on the last tile, else rh
-    dst_hi_last = min(h - (nr - 1) * th + off_h, rh)
+    def guard_of(match, r2):
+        if match is None:
+            return None
+        if isinstance(match, tuple):
+            _, lo, hi = match
+            return (r2 > lo) & (r2 < hi)
+        return r2 == match
 
     def start_dma(step_v, slot_v):
         n2 = step_v // nr
         r2 = step_v - n2 * nr
-        cases = []
-        if nr == 1:
-            cases.append((None, off_h, dst_hi_last))
-        else:
-            cases.append((r2 == 0, off_h, min(rh, dst_hi_last
-                                              if nr == 1 else rh)))
-            if nr > 2:
-                cases.append(((r2 > 0) & (r2 < nr - 1), 0, rh))
-            cases.append((r2 == nr - 1, 0, dst_hi_last))
-        for guard, dlo, dhi in cases:
+        for match, dlo, dhi in classes:
             if dhi <= dlo:
                 continue
 
@@ -81,19 +107,18 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
                 src_lo = r2 * th - off_h + dlo
                 pltpu.make_async_copy(
                     x_hbm.at[n2, pl.ds(src_lo, dhi - dlo)],
-                    slab.at[slot_v, pl.ds(dlo, dhi - dlo),
-                            pl.ds(off_w, w)],
+                    slab.at[slot_v, pl.ds(dlo, dhi - dlo)],
                     sems.at[slot_v],
                 ).start()
 
-            if guard is None:
+            g = guard_of(match, r2)
+            if g is None:
                 _go()
             else:
-                pl.when(guard)(_go)
+                pl.when(g)(_go)
 
     @pl.when(step == 0)
     def _():
-        slab[...] = jnp.zeros(slab.shape, slab.dtype)
         start_dma(step, slot)
 
     @pl.when(step + 1 < total)
@@ -105,43 +130,56 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
     def wait_dma(dlo, dhi):
         pltpu.make_async_copy(
             x_hbm.at[0, pl.ds(0, dhi - dlo)],
-            slab.at[slot, pl.ds(dlo, dhi - dlo), pl.ds(off_w, w)],
+            slab.at[slot, pl.ds(dlo, dhi - dlo)],
             sems.at[slot],
         ).wait()
 
-    if nr == 1:
-        wait_dma(off_h, dst_hi_last)
-    else:
-        pl.when(r_i == 0)(lambda: wait_dma(off_h, rh))
-        if nr > 2:
-            pl.when((r_i > 0) & (r_i < nr - 1))(lambda: wait_dma(0, rh))
-        pl.when(r_i == nr - 1)(lambda: wait_dma(0, dst_hi_last))
+    cp = slab.shape[-1]
+    for match, dlo, dhi in classes:
+        g = guard_of(match, r_i)
 
-    # boundary tiles: re-zero the rows the DMA didn't write (middle
-    # tiles overwrite the full slab, so earlier zeros don't persist)
-    cin = slab.shape[-1]
-    if off_h > 0 and nr > 1:
-        @pl.when(r_i == 0)
-        def _():
-            slab[slot, 0:off_h] = jnp.zeros((off_h, wp, cin), slab.dtype)
-    if dst_hi_last < rh and nr > 1:
-        @pl.when(r_i == nr - 1)
-        def _():
-            slab[slot, dst_hi_last:rh] = jnp.zeros(
-                (rh - dst_hi_last, wp, cin), slab.dtype)
+        def _fin(dlo=dlo, dhi=dhi):
+            if dhi > dlo:
+                wait_dma(dlo, dhi)
+            # halo rows outside the image: zero what the DMA skipped
+            # (middle tiles overwrite the full slab, so zeros from
+            # earlier steps don't persist in this slot)
+            if dlo > 0:
+                slab[slot, 0:dlo] = jnp.zeros((dlo, wp, cp), slab.dtype)
+            if dhi < rh:
+                slab[slot, dhi:rh] = jnp.zeros((rh - dhi, wp, cp),
+                                               slab.dtype)
+
+        if g is None:
+            _fin()
+        else:
+            pl.when(g)(_fin)
 
     cout = out_ref.shape[-1]
-    acc = jnp.zeros((th * wp, cout), jnp.float32)
+    # Tap shifts are applied to the f32 partial PRODUCTS, not the bf16
+    # input rows: Mosaic's dynamic_rotate only supports 32-bit data
+    # ("Rotate with non-32-bit data" is unimplemented as of this
+    # toolchain), and out[j] += x[j+dx-ow]@w[dy,dx] is equivalent to
+    # rolling q = x@w by ow-dx after the matmul. Wrapped-in values of
+    # the flat [th*wp] roll are always zero: they come from a row tail
+    # (cols >= w, where x is zero so q is zero) or from garbage that
+    # lands at cols >= w, which out_ref's [:, :w] slice discards —
+    # both need tail width wp - w >= kw - 1, which _conv2d_pallas
+    # guarantees.
+    nflat = th * wp
+    parts = [None] * kw
     for dy in range(kh):
-        rows = slab[slot, dy:dy + th]                  # [th, wp, cin]
+        a = slab[slot, dy:dy + th].reshape(nflat, cp)
         for dx in range(kw):
-            # roll by wp-dx == index shift of +dx with wraparound; the
-            # wrapped-in cols land at j >= wp-dx >= w and are discarded
-            shifted = (pltpu.roll(rows, shift=wp - dx, axis=1)
-                       if dx else rows)
-            a = shifted.reshape(th * wp, cin)
-            acc = acc + jnp.dot(a, w_ref[dy, dx],
-                                preferred_element_type=jnp.float32)
+            p = jnp.dot(a, w_ref[dy, dx],
+                        preferred_element_type=jnp.float32)
+            parts[dx] = p if parts[dx] is None else parts[dx] + p
+    acc = None
+    for dx in range(kw):
+        p = parts[dx]
+        if dx != off_w:
+            p = pltpu.roll(p, shift=(off_w - dx) % nflat, axis=0)
+        acc = p if acc is None else acc + p
     if scale_ref is not None:
         acc = acc * scale_ref[0] + shift_ref[0]
     if relu:
@@ -238,10 +276,23 @@ def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
     assert 0 <= oh < kh and 0 <= ow < kw
     th = min(rows_per_step, _round_up(h, 1))
     nr = -(-h // th)
-    # wp: padded slab width. Multiple of 16 keeps the (th, wp, cin) ->
-    # (th*wp, cin) reshape layout-free for bf16/f32; >= w + kw - 1
-    # keeps the rolled-in wrap columns inside the discarded tail.
+    # Mosaic constraint (hardware-verified): a manually DMA'd
+    # memref_slice must be tile-aligned on the minor two dims — slice
+    # row count arbitrary, but dim -2 %8 (f32; %16 covers bf16) and
+    # dim -1 %128, even when the slice covers the full dim. So x is
+    # pre-padded once in XLA: width to wp (also >= w + kw - 1 so the
+    # roll-wrapped columns stay inside the discarded/zero tail;
+    # multiple of 16 additionally keeps the (th, wp, cp) -> (th*wp, cp)
+    # reshape layout-free for bf16/f32) and channels to cp (%128).
+    # Zero pad channels x zero weight rows contribute nothing; K <= 128
+    # is one MXU pass either way, so the pad costs HBM traffic only.
     wp = _round_up(wd + kw - 1, 16)
+    cp = _round_up(cin, 128)
+    if wp != wd or cp != cin:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd), (0, cp - cin)))
+    w = w.astype(x.dtype)
+    if cp != cin:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
 
     has_affine = scale is not None
     kern = functools.partial(
@@ -253,13 +304,13 @@ def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
-    operands = [x, w.astype(x.dtype)]
+    operands = [x, w]
     if has_affine:
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM)]
         operands += [scale, shift]
 
-    flops = 2 * n * h * wd * kh * kw * cin * cout
+    flops = 2 * n * h * wd * kh * kw * cp * cout
     bytes_accessed = (x.size * x.dtype.itemsize
                       + n * h * wd * cout * jnp.dtype(out_dtype).itemsize)
     return pl.pallas_call(
@@ -271,7 +322,7 @@ def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + kh - 1, wp, cin), x.dtype),
+            pltpu.VMEM((2, th + kh - 1, wp, cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(flops=flops,

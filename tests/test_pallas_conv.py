@@ -74,6 +74,21 @@ def test_conv2d_fused_ragged_last_tile():
          dtype=jnp.float32)
 
 
+def test_conv2d_fused_halo_crosses_last_tile():
+    # uncentered 3x3 (oh=0): bottom halo = 2 rows, last tile = 1 row
+    # (17 = 2*8+1) — the second-to-last tile's DMA must clamp at the
+    # image edge and zero the crossed halo rows
+    _run(2, 17, 21, 8, 8, 3, 3, (0, 0), relu=False, affine=True,
+         dtype=jnp.float32)
+
+
+def test_conv2d_fused_halo_crosses_two_tiles():
+    # nr == 2 with h just past one tile (9 = 8+1): the FIRST tile's
+    # halo also crosses the image bottom
+    _run(1, 9, 21, 8, 8, 3, 3, (0, 0), relu=False, affine=False,
+         dtype=jnp.float32)
+
+
 def test_conv2d_fused_trunk_shape():
     # scaled-down analogue of the s2d trunk conv (offset-0 2x2, wide W)
     _run(2, 10, 101, 48, 64, 2, 2, (0, 0), relu=True, affine=True,
