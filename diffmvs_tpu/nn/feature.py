@@ -283,19 +283,31 @@ class FeatureNet(nn.Module):
                                     use_bias=False, name="out3")()
                 kfold = prepared(self, "fold3", lambda: _fold_stage3_kernel(
                     w2, b2, w3, dt))
-                ones = jnp.ones(intra.shape[:-1] + (1,), intra.dtype)
-                z = jnp.concatenate([intra, c1, ones], axis=-1)
+                # the ones-channel (inner2-bias) column runs as its own
+                # batch-1 conv over a literal ones image: hardware
+                # probes (tools/probe_conv.py) show XLA's conv fast
+                # path requires cin == 128 exactly — 129 channels cost
+                # 17.9 ms vs 7.3 ms at this shape. The tiny ones-conv
+                # reproduces the zero-padded border clipping of the
+                # bias exactly; its broadcast add fuses into the main
+                # conv's epilogue.
+                kmain, k1 = kfold[:, :, :-1], kfold[:, :, -1:]
+                kk = (kfold.shape[0] // 2, kfold.shape[1] // 2)
+                z = jnp.concatenate([intra, c1], axis=-1)
+                ones = jnp.ones((1,) + intra.shape[1:3] + (1,), kfold.dtype)
+                ones_map = jax.lax.conv_general_dilated(
+                    ones, k1, (1, 1), ((kk[0], kk[0]), (kk[1], kk[1])),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 if pallas:
                     from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
 
-                    out3 = conv2d_fused(z.astype(kfold.dtype), kfold)
+                    out3 = conv2d_fused(z.astype(kfold.dtype), kmain)
                 else:
-                    kk = (kfold.shape[0] // 2, kfold.shape[1] // 2)
                     out3 = jax.lax.conv_general_dilated(
-                        z.astype(kfold.dtype), kfold, (1, 1),
+                        z.astype(kfold.dtype), kmain, (1, 1),
                         ((kk[0], kk[0]), (kk[1], kk[1])),
                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                outputs["stage3"] = from_s2d(out3, 2)
+                outputs["stage3"] = from_s2d(out3 + ones_map, 2)
             elif self.s2d:
                 # intra is native 1/4 res; c1 is the s2d(2) repr of 1/2
                 # res (same physical resolution) — merge and run the

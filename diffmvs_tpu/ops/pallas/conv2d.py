@@ -66,9 +66,9 @@ def _row_classes(nr: int, rh: int, th: int, off_h: int, h: int):
 
 
 def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
-                 *, nr: int, th: int, kh: int, kw: int, off_h: int,
-                 off_w: int, h: int, w: int, wp: int, relu: bool,
-                 out_dtype):
+                 buf=None, *, nr: int, th: int, kh: int, kw: int,
+                 off_h: int, off_w: int, h: int, w: int, wp: int,
+                 relu: bool, out_dtype):
     """One grid step computes `th` output rows of one image.
 
     slab: [2, th+kh-1, wp, cp] double-buffered input rows. x arrives
@@ -167,19 +167,38 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
     # both need tail width wp - w >= kw - 1, which _conv2d_pallas
     # guarantees.
     nflat = th * wp
-    parts = [None] * kw
-    for dy in range(kh):
-        a = slab[slot, dy:dy + th].reshape(nflat, cp)
+    if buf is None:
+        # taps variant: kh*kw dots with K=cp, dy partials accumulated
+        # across dots (extra f32 read-modify-write passes per dy)
+        parts = [None] * kw
+        for dy in range(kh):
+            a = slab[slot, dy:dy + th].reshape(nflat, cp)
+            for dx in range(kw):
+                p = jnp.dot(a, w_ref[dy, dx],
+                            preferred_element_type=jnp.float32)
+                parts[dx] = p if parts[dx] is None else parts[dx] + p
+        acc = None
         for dx in range(kw):
-            p = jnp.dot(a, w_ref[dy, dx],
-                        preferred_element_type=jnp.float32)
-            parts[dx] = p if parts[dx] is None else parts[dx] + p
-    acc = None
-    for dx in range(kw):
-        p = parts[dx]
-        if dx != off_w:
-            p = pltpu.roll(p, shift=(off_w - dx) % nflat, axis=0)
-        acc = p if acc is None else acc + p
+            p = parts[dx]
+            if dx != off_w:
+                p = pltpu.roll(p, shift=(off_w - dx) % nflat, axis=0)
+            acc = p if acc is None else acc + p
+    else:
+        # im2col-over-rows variant: the dy taps fold into the matmul's
+        # K dim. buf[t, :, dy*cp:(dy+1)*cp] = slab rows [t+dy] is kh
+        # cheap bf16 copies (sublane-shift reads, 128-aligned lane
+        # writes), then only kw dots with K=kh*cp and kw-1 f32 rolls —
+        # removes the (kh-1)*kw f32 read-modify-write passes of the
+        # taps variant. w_ref here is pre-reshaped [kw, kh*cp, cout].
+        for dy in range(kh):
+            buf[:, :, dy * cp:(dy + 1) * cp] = slab[slot, dy:dy + th]
+        a = buf[...].reshape(nflat, kh * cp)
+        acc = jnp.dot(a, w_ref[off_w], preferred_element_type=jnp.float32)
+        for dx in range(kw):
+            if dx == off_w:
+                continue
+            p = jnp.dot(a, w_ref[dx], preferred_element_type=jnp.float32)
+            acc = acc + pltpu.roll(p, shift=(off_w - dx) % nflat, axis=0)
     if scale_ref is not None:
         acc = acc * scale_ref[0] + shift_ref[0]
     if relu:
@@ -190,6 +209,7 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
 
 def conv2d_fused(x, w, scale=None, shift=None, *, offset=None,
                  relu: bool = False, out_dtype=None, rows_per_step: int = 8,
+                 variant: str = "im2col",
                  interpret: Optional[bool] = None):
     """y[n,i,j,o] = act(sum_{dy,dx,c} x[n, i+dy-oh, j+dx-ow, c]
                         * w[dy,dx,c,o] * scale[o] + shift[o])
@@ -208,7 +228,7 @@ def conv2d_fused(x, w, scale=None, shift=None, *, offset=None,
         offset if isinstance(offset, tuple) else (offset, offset))
     out_dtype = jnp.dtype(out_dtype or x.dtype)
     op = _fused_op(oh, ow, relu, out_dtype.name, rows_per_step, interpret,
-                   scale is not None)
+                   scale is not None, variant)
     if scale is None:
         return op(x, w)
     cout = w.shape[-1]
@@ -218,7 +238,7 @@ def conv2d_fused(x, w, scale=None, shift=None, *, offset=None,
 
 @functools.lru_cache(maxsize=None)
 def _fused_op(oh, ow, relu, out_dtype_name, rows_per_step, interpret,
-              has_affine):
+              has_affine, variant="im2col"):
     """custom_vjp wrapper per static config: forward = the Pallas
     kernel; backward = jax.vjp through the XLA reference (the
     "recompute" pattern the warp kernel uses) — so the fused path is
@@ -230,6 +250,7 @@ def _fused_op(oh, ow, relu, out_dtype_name, rows_per_step, interpret,
     def fwd_impl(x, w, scale, shift):
         return _conv2d_pallas(x, w, scale, shift,
                               rows_per_step=rows_per_step,
+                              variant=variant,
                               interpret=interpret, **kwargs)
 
     def ref(x, w, scale, shift):
@@ -267,7 +288,7 @@ def _fused_op(oh, ow, relu, out_dtype_name, rows_per_step, interpret,
 
 
 def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
-                   rows_per_step, interpret):
+                   rows_per_step, interpret, variant="im2col"):
     """The raw pallas_call (see conv2d_fused for semantics)."""
     n, h, wd, cin = x.shape
     kh, kw, wcin, cout = w.shape
@@ -295,11 +316,20 @@ def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
 
     has_affine = scale is not None
-    kern = functools.partial(
+    use_imcol = variant == "im2col" and kh > 1
+    if use_imcol:
+        # fold the dy taps into the matmul K dim (see _conv_kernel)
+        w = jnp.transpose(w, (1, 0, 2, 3)).reshape(kw, kh * cp, cout)
+    base = functools.partial(
         _conv_kernel, nr=nr, th=th, kh=kh, kw=kw, off_h=oh, off_w=ow,
         h=h, w=wd, wp=wp, relu=relu, out_dtype=out_dtype)
-    if not has_affine:
-        kern = lambda x_, w_, o_, s_, se_, *, _k=kern: _k(  # noqa: E731
+    if has_affine:
+        kern = base                     # buf rides as trailing scratch
+    elif use_imcol:
+        kern = lambda x_, w_, o_, s_, se_, b_: base(  # noqa: E731
+            x_, w_, None, None, o_, s_, se_, b_)
+    else:
+        kern = lambda x_, w_, o_, s_, se_: base(  # noqa: E731
             x_, w_, None, None, o_, s_, se_)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY),
@@ -321,10 +351,11 @@ def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
                                lambda n_i, r_i: (n_i, r_i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, th + kh - 1, wp, cp), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, th + kh - 1, wp, cp), x.dtype),
+             pltpu.SemaphoreType.DMA((2,))]
+            + ([pltpu.VMEM((th, wp, kh * cp), x.dtype)]
+               if use_imcol else [])),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),

@@ -32,6 +32,8 @@ SHAPES = [
     ("bgrid_3x3_32_32", 20, 288, 400, 32, 32, 3, 3, None),
     ("cgrid_3x3_64_64", 20, 144, 200, 64, 64, 3, 3, None),
     ("fold3_3x3_129_64", 20, 288, 400, 129, 64, 3, 3, None),
+    # the shipped fold3 after the ones->bias-map split (cin 128)
+    ("fold3_3x3_128_64", 20, 288, 400, 128, 64, 3, 3, None),
 ]
 
 
@@ -63,6 +65,8 @@ def main():
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--rows", type=int, default=8,
                    help="pallas rows_per_step")
+    p.add_argument("--variant", default="im2col",
+                   help="pallas kernel variant: im2col | taps")
     p.add_argument("--only", default="",
                    help="substring filter on shape name")
     args = p.parse_args()
@@ -93,6 +97,7 @@ def main():
         def pallas_fn(x, w, s, b, offset=offset):
             return conv2d_fused(x, w, s, b, offset=offset, relu=True,
                                 rows_per_step=args.rows,
+                                variant=args.variant,
                                 interpret=(backend == "cpu"))
 
         flops = 2 * n * h * w * kh * kw * cin * cout
