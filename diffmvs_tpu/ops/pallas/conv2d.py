@@ -71,14 +71,19 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
                  relu: bool, out_dtype):
     """One grid step computes `th` output rows of one image.
 
-    slab: [2, th+kh-1, wp, cp] double-buffered input rows. x arrives
-    pre-padded (see _conv2d_pallas) to width wp (data at cols [0, w),
-    zero tail) and channels cp, so every DMA copies full aligned rows:
-    Mosaic requires memref_slice sizes on the minor two dims to be
-    tile-aligned (sublane %8, lane %128) — hardware-verified failure
-    modes: "Slice shape along dimension 2 must be aligned to tiling
-    (8), but is 402" / "dimension 3 ... (128), but is 64". Rows beyond
-    the image (top/bottom halo) are re-zeroed after the DMA lands.
+    Flat-row layout: x arrives pre-padded (see _conv2d_pallas) to width
+    wp (data at cols [0, w), zero tail) and channels cp, then reshaped
+    to [N, H*wp, cp] — so a dy row tap is a flat offset of dy*wp, a
+    MULTIPLE OF THE SUBLANE TILE. Hardware A/B showed the 4-D form's
+    per-dy reads (sublane offset 1 of a bf16 value) dominating the
+    kernel: all of rows {8,16} x variants {taps,im2col} measured
+    7.3-7.6 ms on trunk1 where ~3 ms is the pass-count floor. The DMA
+    alignment rules also shaped this layout: a memref_slice must be
+    tile-aligned on the minor two dims (sublane %8, lane %128), even
+    when a dim is copied whole, so slices here are (rows*wp, cp) with
+    wp %16 and cp %128. slab: [2, (th+kh-1)*wp, cp] double-buffered
+    flat rows; halo rows beyond the image are re-zeroed after the DMA
+    lands.
     """
     n_i = pl.program_id(0)
     r_i = pl.program_id(1)
@@ -104,10 +109,10 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
                 continue
 
             def _go(dlo=dlo, dhi=dhi):
-                src_lo = r2 * th - off_h + dlo
+                src_lo = (r2 * th - off_h + dlo) * wp
                 pltpu.make_async_copy(
-                    x_hbm.at[n2, pl.ds(src_lo, dhi - dlo)],
-                    slab.at[slot_v, pl.ds(dlo, dhi - dlo)],
+                    x_hbm.at[n2, pl.ds(src_lo, (dhi - dlo) * wp)],
+                    slab.at[slot_v, pl.ds(dlo * wp, (dhi - dlo) * wp)],
                     sems.at[slot_v],
                 ).start()
 
@@ -129,8 +134,8 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
     # but every class lands on the same semaphore with a matching wait)
     def wait_dma(dlo, dhi):
         pltpu.make_async_copy(
-            x_hbm.at[0, pl.ds(0, dhi - dlo)],
-            slab.at[slot, pl.ds(dlo, dhi - dlo)],
+            x_hbm.at[0, pl.ds(0, (dhi - dlo) * wp)],
+            slab.at[slot, pl.ds(dlo * wp, (dhi - dlo) * wp)],
             sems.at[slot],
         ).wait()
 
@@ -145,10 +150,11 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
             # (middle tiles overwrite the full slab, so zeros from
             # earlier steps don't persist in this slot)
             if dlo > 0:
-                slab[slot, 0:dlo] = jnp.zeros((dlo, wp, cp), slab.dtype)
+                slab[slot, 0:dlo * wp] = jnp.zeros((dlo * wp, cp),
+                                                   slab.dtype)
             if dhi < rh:
-                slab[slot, dhi:rh] = jnp.zeros((rh - dhi, wp, cp),
-                                               slab.dtype)
+                slab[slot, dhi * wp:rh * wp] = jnp.zeros(
+                    ((rh - dhi) * wp, cp), slab.dtype)
 
         if g is None:
             _fin()
@@ -172,7 +178,7 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
         # across dots (extra f32 read-modify-write passes per dy)
         parts = [None] * kw
         for dy in range(kh):
-            a = slab[slot, dy:dy + th].reshape(nflat, cp)
+            a = slab[slot, dy * wp:dy * wp + nflat]
             for dx in range(kw):
                 p = jnp.dot(a, w_ref[dy, dx],
                             preferred_element_type=jnp.float32)
@@ -185,14 +191,16 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sems,
             acc = p if acc is None else acc + p
     else:
         # im2col-over-rows variant: the dy taps fold into the matmul's
-        # K dim. buf[t, :, dy*cp:(dy+1)*cp] = slab rows [t+dy] is kh
-        # cheap bf16 copies (sublane-shift reads, 128-aligned lane
-        # writes), then only kw dots with K=kh*cp and kw-1 f32 rolls —
-        # removes the (kh-1)*kw f32 read-modify-write passes of the
-        # taps variant. w_ref here is pre-reshaped [kw, kh*cp, cout].
+        # K dim. buf[t, dy*cp:(dy+1)*cp] = slab flat rows [t + dy*wp]
+        # is kh cheap copies (tile-aligned sublane-offset reads,
+        # 128-aligned lane writes), then only kw dots with K=kh*cp and
+        # kw-1 f32 rolls — removes the (kh-1)*kw f32 read-modify-write
+        # passes of the taps variant. w_ref here is pre-reshaped
+        # [kw, kh*cp, cout].
         for dy in range(kh):
-            buf[:, :, dy * cp:(dy + 1) * cp] = slab[slot, dy:dy + th]
-        a = buf[...].reshape(nflat, kh * cp)
+            buf[:, dy * cp:(dy + 1) * cp] = slab[slot,
+                                                 dy * wp:dy * wp + nflat]
+        a = buf[...]
         acc = jnp.dot(a, w_ref[off_w], preferred_element_type=jnp.float32)
         for dx in range(kw):
             if dx == off_w:
@@ -311,6 +319,9 @@ def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
     cp = _round_up(cin, 128)
     if wp != wd or cp != cin:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd), (0, cp - cin)))
+    # flat-row layout (free reshape): row taps become sublane-tile-
+    # aligned flat offsets of dy*wp inside the kernel
+    x = x.reshape(n, h * wp, cp)
     w = w.astype(x.dtype)
     if cp != cin:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
@@ -352,9 +363,9 @@ def _conv2d_pallas(x, w, scale, shift, *, offset, relu, out_dtype,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), out_dtype),
         scratch_shapes=(
-            [pltpu.VMEM((2, th + kh - 1, wp, cp), x.dtype),
+            [pltpu.VMEM((2, (th + kh - 1) * wp, cp), x.dtype),
              pltpu.SemaphoreType.DMA((2,))]
-            + ([pltpu.VMEM((th, wp, kh * cp), x.dtype)]
+            + ([pltpu.VMEM((th * wp, kh * cp), x.dtype)]
                if use_imcol else [])),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
