@@ -135,6 +135,18 @@ class ModelConfig:
     # feature_s2d.
     feature_fold_head: bool = False
 
+    # Run the FPN's 1/4-res tail (conv2_1/conv2_2, inner1, out2) on the
+    # s2d(2) grid where conv cin == 128 exactly — XLA's TPU conv fast
+    # path; the native 32/64-ch convs at that resolution are
+    # patch-materialization-bound at 5.5-8 ms each (tools/probe_conv.py,
+    # docs/bench_r4.json). Identical math + param tree
+    # (nn/feature.py FeatureNet.tail_s2d). Needs feature_s2d.
+    feature_tail_s2d: bool = False
+
+    # Same 1/4-res tail treatment for ContextNet (layer2_1, output2,
+    # layer3_0 on the s2d(2) grid). Needs context_s2d.
+    context_tail_s2d: bool = False
+
     # ...and for the stage-1 PixelViewWeight 3D convs (G=8 lanes).
     stage1_s2d: bool = False
 

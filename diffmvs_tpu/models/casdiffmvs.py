@@ -66,9 +66,11 @@ class CasDiffMVS(nn.Module):
             phase_opt=cfg.feature_phase_opt,
             fold_head=cfg.feature_fold_head,
             conv_pallas=cfg.conv_pallas,
+            tail_s2d=cfg.feature_tail_s2d,
             dtype=dt)
         self.context = ContextNet(out_dim=cfg.ctx_out_dim,
                                   s2d=cfg.context_s2d,
+                                  tail_s2d=cfg.context_tail_s2d,
                                   conv_pallas=cfg.conv_pallas, dtype=dt)
         self.depthnet = InitialStage(
             group_dim=cfg.cost_dim_stage[0], up_ratio=2,

@@ -55,8 +55,40 @@ def conv(x, w):
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def conv_split(x, w):
+    """cin split into exact-128 halves: two convs + add. Tests whether
+    slicing keeps XLA's cin==128 conv fast path (probe hypothesis 5)."""
+    kh, kw = w.shape[:2]
+    pad = ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2))
+    c = x.shape[-1]
+    acc = None
+    for lo in range(0, c, 128):
+        y = jax.lax.conv_general_dilated(
+            x[..., lo:lo + 128], w[:, :, lo:lo + 128].astype(x.dtype), (1, 1),
+            pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        acc = y if acc is None else acc + y
+    return acc.astype(x.dtype)
+
+
 CASES = [
     # (name, n, h, w, cin, cout, k, dtype)
+    # -- round-4b: s2d(2)-grid shapes for the feature stage-2 tail --
+    # conv2_1/conv2_2 (native 3x3 32->32 at 288x400) recast on the
+    # 144x200 s2d(2) grid: 2x2 cin=cout=128 exactly
+    ("sgrid_2x2_128_128", 20, 144, 200, 128, 128, 2, jnp.bfloat16),
+    # out2 (3x3 64->32) on the s2d(2) grid: 2x2 cin256->cout128
+    ("sgrid_2x2_256_128", 20, 144, 200, 256, 128, 2, jnp.bfloat16),
+    # inner1 (1x1 32->64 native) on the s2d(2) grid
+    ("sgrid_1x1_128_256", 20, 144, 200, 128, 256, 1, jnp.bfloat16),
+    ("sgrid_3x3_64_64", 20, 144, 200, 64, 64, 3, jnp.bfloat16),
+    # split-cin trick: does slicing to exact-128 halves keep the fast
+    # path? compare vs fold3_c256 (15.2 ms) / sgrid_2x2_256_128
+    ("split_3x3_256_64", 20, 288, 400, 256, 64, 3, jnp.bfloat16),
+    ("split_2x2_256_128", 20, 144, 200, 256, 128, 2, jnp.bfloat16),
+    # symmetric (centered) s2d expansions: 3x3 native -> 3x3 on-grid
+    ("sgrid_3x3_128_128", 20, 144, 200, 128, 128, 3, jnp.bfloat16),
+    ("split_3x3_256_128", 20, 144, 200, 256, 128, 3, jnp.bfloat16),
     ("fold3_c129", 20, 288, 400, 129, 64, 3, jnp.bfloat16),
     ("fold3_c136", 20, 288, 400, 136, 64, 3, jnp.bfloat16),
     ("fold3_c144", 20, 288, 400, 144, 64, 3, jnp.bfloat16),
@@ -92,8 +124,9 @@ def main():
         x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32), dtype)
         wk = jnp.asarray(
             rng.randn(k, k, cin, cout).astype(np.float32) * 0.05)
+        fn = conv_split if "split" in name else conv
         try:
-            ms = timed(conv, x, wk, reps=args.reps) * 1e3
+            ms = timed(fn, x, wk, reps=args.reps) * 1e3
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"metric": f"probe_{name}",
                               "error": repr(e)[:160]}), flush=True)
