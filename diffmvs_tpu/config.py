@@ -103,6 +103,13 @@ class ModelConfig:
     # identical values; A/B with bench.py --set warp_native_agg=False.
     warp_native_agg: bool = True
 
+    # Fold all source views into ONE warp_corr_pallas call (batch axis
+    # = V-1 x B): shared operand prep / window geometry across views
+    # instead of per-view XLA glue. Launch count and kernel math are
+    # unchanged (per-sample launches inside). A/B with
+    # bench.py --set warp_fold_views=True.
+    warp_fold_views: bool = False
+
     # Run the refinement UNet + condition encoder in space-to-depth
     # layout (nn/s2d.py): identical math and parameters, but the
     # C=8-32 convs/norms/elementwise use all 128 TPU lanes instead of

@@ -76,6 +76,7 @@ class CasDiffMVS(nn.Module):
             group_dim=cfg.cost_dim_stage[0], up_ratio=2,
             warp_kernel=cfg.warp_kernel, warp_bwd=cfg.warp_bwd,
             warp_glue=cfg.warp_glue[0],
+            fold_views=cfg.warp_fold_views,
             stage1_s2d=cfg.stage1_s2d,
             dtype=dt)
 
@@ -110,6 +111,7 @@ class CasDiffMVS(nn.Module):
                 warp_bwd=cfg.warp_bwd,
                 warp_glue=cfg.warp_glue[s],
                 warp_native_agg=cfg.warp_native_agg,
+                warp_fold_views=cfg.warp_fold_views,
                 unet_s2d=cfg.unet_s2d,
                 encoder_s2d=cfg.encoder_s2d,
                 conv_pallas=cfg.conv_pallas,

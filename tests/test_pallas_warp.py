@@ -260,3 +260,86 @@ def test_local_cost_volume_native_agg_matches(rng):
     g_n = np.asarray(jax.jit(jax.grad(lambda fs: loss(True, fs)))(feats))
     g_s = np.asarray(jax.jit(jax.grad(lambda fs: loss(False, fs)))(feats))
     np.testing.assert_allclose(g_n, g_s, rtol=1e-5, atol=1e-6)
+
+
+def test_local_cost_volume_fold_views_matches(rng):
+    """warp_fold_views=True (all source views folded into ONE kernel
+    call's batch axis) must equal the per-view-call path — values AND
+    feature gradients. The fold only batches the operand prep; the
+    kernel math per (view, sample) is identical."""
+    from diffmvs_tpu.models.stages import local_cost_volume
+
+    b, h, w, c, v = 2, 48, 128, 16, 3
+    cams = make_cams(v, h * 2, w * 2)
+    projs = stage_projs(cams)["stage3"]       # [V, 2, 4, 4]
+    pp = jnp.asarray(np.broadcast_to(projs, (b,) + projs.shape).copy())
+    feats = jnp.asarray(rng.randn(v, b, h, w, c).astype(np.float32))
+    inv = jnp.asarray((rng.rand(b, h, w) * 0.5 + 0.25).astype(np.float32))
+    vw = jnp.asarray((rng.rand(v - 1, b, h, w) + 0.1).astype(np.float32))
+    dmin = jnp.full((b,), 4.0, jnp.float32)
+    dmax = jnp.full((b,), 10.0, jnp.float32)
+
+    def run(fold, fs):
+        return local_cost_volume(
+            inv, [fs[i] for i in range(v)], pp, 1.0 / 32, dmin, dmax,
+            cost_num=4, group_dim=4, view_weights=vw,
+            warp_kernel="pallas", warp_fold_views=fold)
+
+    cost_f, samp_f = jax.jit(lambda fs: run(True, fs))(feats)
+    cost_s, samp_s = jax.jit(lambda fs: run(False, fs))(feats)
+    np.testing.assert_array_equal(np.asarray(samp_f), np.asarray(samp_s))
+    np.testing.assert_allclose(np.asarray(cost_f), np.asarray(cost_s),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(fold, fs):
+        cost, _ = run(fold, fs)
+        return jnp.sum(cost * cost)
+
+    g_f = np.asarray(jax.jit(jax.grad(lambda fs: loss(True, fs)))(feats))
+    g_s = np.asarray(jax.jit(jax.grad(lambda fs: loss(False, fs)))(feats))
+    np.testing.assert_allclose(g_f, g_s, rtol=1e-5, atol=1e-6)
+
+
+def test_initial_stage_fold_views_matches(rng):
+    """InitialStage(fold_views=True) == fold_views=False with the same
+    variables: the stage-1 full sweep folded into one kernel call (PVW
+    stays per-view either way, so the param/batch-stats trees and BN
+    moment semantics are untouched)."""
+    from diffmvs_tpu.models.stages import InitialStage
+
+    b, h, w, c, v, d = 1, 48, 128, 16, 3, 8
+    cams = make_cams(v, h * 2, w * 2)
+    projs = stage_projs(cams)["stage3"]
+    pp = jnp.asarray(np.broadcast_to(projs, (b,) + projs.shape).copy())
+    feats = [jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+             for _ in range(v)]
+    ctx = jnp.asarray(rng.randn(b, h, w, 8).astype(np.float32))
+    base = 6.0 + 1.5 * rng.rand(b, 1, h, w).astype(np.float32)
+    offs = (np.arange(d, dtype=np.float32) - d / 2) * 0.05
+    depths = jnp.asarray(base + offs.reshape(1, d, 1, 1))
+
+    def scale_inv_depth(nd):
+        return nd, 1.0 / (0.1 + 0.9 * jnp.clip(nd, 0.0, 1.0) / 6.0)
+
+    def build(fold):
+        return InitialStage(group_dim=4, up_ratio=2,
+                            warp_kernel="pallas_full", fold_views=fold)
+
+    variables = build(False).init(
+        jax.random.PRNGKey(0), feats, ctx, pp, depths, scale_inv_depth,
+        train=False)
+    vs = build(True).init(
+        jax.random.PRNGKey(0), feats, ctx, pp, depths, scale_inv_depth,
+        train=False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
+            == jax.tree_util.tree_map(lambda a: a.shape, vs))
+
+    out_s = jax.jit(lambda v_, f: build(False).apply(
+        v_, f, ctx, pp, depths, scale_inv_depth, train=False))(
+            variables, feats)
+    out_f = jax.jit(lambda v_, f: build(True).apply(
+        v_, f, ctx, pp, depths, scale_inv_depth, train=False))(
+            variables, feats)
+    for a, b_ in zip(out_s, out_f):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
