@@ -52,6 +52,11 @@ def main(selected):
     else:
         B, H, W, ND, ND_INIT, REPS = 1, 128, 160, 64, 16, 2
     V = 5
+    # "b=8" in argv overrides the batch (the shipped bench default is
+    # B=8 since r4 — match it when attributing the headline number)
+    for tok in [s for s in selected if s.startswith("b=")]:
+        B = int(tok.split("=")[1])
+        selected.discard(tok)
 
     from diffmvs_tpu.config import tpu_optimized
     cfg = tpu_optimized(dataclasses.replace(
