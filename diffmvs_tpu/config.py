@@ -107,8 +107,17 @@ class ModelConfig:
     # = V-1 x B): shared operand prep / window geometry across views
     # instead of per-view XLA glue. Launch count and kernel math are
     # unchanged (per-sample launches inside). A/B with
-    # bench.py --set warp_fold_views=True.
+    # bench.py --set warp_fold_views=True. MEASURED -0.6 maps/s at B=8
+    # (docs/bench_r4.json) — stays off.
     warp_fold_views: bool = False
+
+    # One N-wide-grid pallas launch per warp_corr call instead of N
+    # per-sample launches: removes N-1 custom-call boundaries per cost
+    # volume (each costs ~0.6 ms in situ beyond the kernel's isolated
+    # time — trace attribution, docs/perf_breakdown.md). A/B with
+    # bench.py --set warp_grid_launch=True; composes with
+    # warp_fold_views (then ONE launch per cost volume).
+    warp_grid_launch: bool = False
 
     # Run the refinement UNet + condition encoder in space-to-depth
     # layout (nn/s2d.py): identical math and parameters, but the

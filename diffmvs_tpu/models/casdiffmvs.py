@@ -77,6 +77,7 @@ class CasDiffMVS(nn.Module):
             warp_kernel=cfg.warp_kernel, warp_bwd=cfg.warp_bwd,
             warp_glue=cfg.warp_glue[0],
             fold_views=cfg.warp_fold_views,
+            grid_launch=cfg.warp_grid_launch,
             stage1_s2d=cfg.stage1_s2d,
             dtype=dt)
 
@@ -112,6 +113,7 @@ class CasDiffMVS(nn.Module):
                 warp_glue=cfg.warp_glue[s],
                 warp_native_agg=cfg.warp_native_agg,
                 warp_fold_views=cfg.warp_fold_views,
+                warp_grid_launch=cfg.warp_grid_launch,
                 unet_s2d=cfg.unet_s2d,
                 encoder_s2d=cfg.encoder_s2d,
                 conv_pallas=cfg.conv_pallas,

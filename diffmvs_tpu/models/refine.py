@@ -56,6 +56,7 @@ class RefineIteration(nn.Module):
     warp_glue: bool = True
     warp_native_agg: bool = True
     warp_fold_views: bool = False
+    warp_grid_launch: bool = False
     unet_s2d: bool = False
     encoder_s2d: int = 0         # 0 = the UNet factor; 2 = run the
                                  # condition encoder at s2d(2) + one
@@ -103,7 +104,8 @@ class RefineIteration(nn.Module):
             use_confidence=has_conf, warp_kernel=self.warp_kernel,
             warp_bwd=self.warp_bwd, warp_glue=self.warp_glue,
             warp_native_agg=self.warp_native_agg,
-            warp_fold_views=self.warp_fold_views)
+            warp_fold_views=self.warp_fold_views,
+            warp_grid_launch=self.warp_grid_launch)
         input_features = self.encoder(
             inv_new[..., None], samples.transpose(0, 2, 3, 1), cost)
         input_unet = jnp.concatenate([context, input_features], axis=-1)
@@ -142,6 +144,7 @@ class RefinementStage(nn.Module):
     warp_glue: bool = True
     warp_native_agg: bool = True
     warp_fold_views: bool = False
+    warp_grid_launch: bool = False
     unet_s2d: bool = False
     encoder_s2d: int = 0
     conv_pallas: bool = False
@@ -184,6 +187,7 @@ class RefinementStage(nn.Module):
             warp_glue=self.warp_glue,
             warp_native_agg=self.warp_native_agg,
             warp_fold_views=self.warp_fold_views,
+            warp_grid_launch=self.warp_grid_launch,
             unet_s2d=self.unet_s2d,
             encoder_s2d=self.encoder_s2d,
             conv_pallas=self.conv_pallas,

@@ -58,6 +58,7 @@ class InitialStage(nn.Module):
     warp_bwd: str = "recompute"
     warp_glue: bool = True       # batched kernel glue (config.warp_glue)
     fold_views: bool = False     # one kernel call over all source views
+    grid_launch: bool = False    # one N-wide launch per kernel call
     stage1_s2d: bool = False     # s2d layout for PixelViewWeight
     dtype: Optional[Any] = None
 
@@ -105,6 +106,7 @@ class InitialStage(nn.Module):
             cor_all = warp_corr_pallas(
                 src, ref, sp, rp, dv, self.group_dim,
                 window_group=8, batch_glue=self.warp_glue,
+                grid_launch=self.grid_launch,
                 bwd=self.warp_bwd).astype(ref_fea.dtype)
             cor_all = cor_all.reshape((nviews, b) + cor_all.shape[1:])
             for i in range(nviews):
@@ -125,6 +127,7 @@ class InitialStage(nn.Module):
                         src_fea, ref_fea, proj_pairs[:, i + 1],
                         proj_pairs[:, 0], depth_values, self.group_dim,
                         window_group=8, batch_glue=self.warp_glue,
+                        grid_launch=self.grid_launch,
                         bwd=self.warp_bwd).astype(ref_fea.dtype)
                 else:
                     cor = warp_and_correlate(
@@ -155,7 +158,8 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
                       warp_bwd: str = "recompute",
                       warp_glue: bool = True,
                       warp_native_agg: bool = True,
-                      warp_fold_views: bool = False):
+                      warp_fold_views: bool = False,
+                      warp_grid_launch: bool = False):
     """Per-iteration local cost volume around the current inverse depth.
 
     Parity: GetCost (module.py:575-667) — sample cost_num hypotheses
@@ -210,7 +214,8 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
             dv = jnp.concatenate([depth_hyp] * nviews)
             cor = warp_corr_pallas(
                 src, ref, sp, rp, dv, group_dim, batch_glue=warp_glue,
-                bwd=warp_bwd, native_out=warp_native_agg)
+                bwd=warp_bwd, native_out=warp_native_agg,
+                grid_launch=warp_grid_launch)
             cor = cor.astype(ref_fea.dtype)
             cor = cor.reshape((nviews, b) + cor.shape[1:])
             cor_list = list(cor)
@@ -222,7 +227,8 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
                     src_fea, ref_fea, proj_pairs[:, i + 1],
                     proj_pairs[:, 0], depth_hyp, group_dim,
                     batch_glue=warp_glue, bwd=warp_bwd,
-                    native_out=warp_native_agg)
+                    native_out=warp_native_agg,
+                    grid_launch=warp_grid_launch)
                 cor_list.append(cor.astype(ref_fea.dtype))
         if warp_native_agg:
             # weight-sum the views in the kernel's native layout and pay

@@ -530,7 +530,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      batch_rows: bool = True, win_w: int = 0,
                      tile: int = 0, chunk_cap: int = 4096,
                      batch_glue: bool = True, bwd: str = "recompute",
-                     native_out: bool = False,
+                     native_out: bool = False, grid_launch: bool = False,
                      interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
@@ -571,7 +571,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                   band=band, packed=packed, skip=skip,
                   batch_rows=batch_rows, win_w=win_w, tile=tile,
                   chunk_cap=chunk_cap, native_out=native_out,
-                  interpret=interpret)
+                  grid_launch=grid_launch, interpret=interpret)
 
     def impl(src, ref, sp, rp, dv):
         if batch_glue or src.shape[0] == 1:
@@ -654,7 +654,7 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                     band: int = BAND_ROWS, packed=None, skip: str = "",
                     batch_rows: bool = True, win_w: int = 0,
                     tile: int = 0, chunk_cap: int = 4096,
-                    native_out: bool = False,
+                    native_out: bool = False, grid_launch: bool = False,
                     interpret: bool = False):
     n, hs, ws, c = src_fea.shape
     _, d, h, w = depth_values.shape
@@ -817,7 +817,13 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
             interpret=interpret,
         )(bases_l, rstarts_l, *operands_l, ref_l, src_l)
 
-    if n == 1:
+    if n == 1 or grid_launch:
+        # grid_launch: ONE pallas_call with the sample axis as the
+        # leading grid dimension. Isolated this measured slower than
+        # per-sample launches (stage-3: 9.2 vs 6.0 ms) but it removes
+        # n-1 custom-call boundaries per cost volume — in situ each
+        # launch costs ~1.46 ms vs 0.85 isolated (trace attribution,
+        # docs/perf_breakdown.md), so the boundary tax can dominate.
         out = launch(n, bases, rstarts, operands, ref_t, src_t)
     else:
         # batched call: ONE shared operand prep / window geometry /

@@ -343,3 +343,70 @@ def test_initial_stage_fold_views_matches(rng):
     for a, b_ in zip(out_s, out_f):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_local_cost_volume_grid_launch_matches(rng):
+    """warp_grid_launch=True (ONE N-wide-grid launch per kernel call,
+    sample axis = leading grid dim) must equal the per-sample-launch
+    path — values AND feature gradients. Only the launch structure
+    differs; the per-(sample, window, tile) kernel body is identical."""
+    from diffmvs_tpu.models.stages import local_cost_volume
+
+    b, h, w, c, v = 2, 48, 128, 16, 3
+    cams = make_cams(v, h * 2, w * 2)
+    projs = stage_projs(cams)["stage3"]       # [V, 2, 4, 4]
+    pp = jnp.asarray(np.broadcast_to(projs, (b,) + projs.shape).copy())
+    feats = jnp.asarray(rng.randn(v, b, h, w, c).astype(np.float32))
+    inv = jnp.asarray((rng.rand(b, h, w) * 0.5 + 0.25).astype(np.float32))
+    vw = jnp.asarray((rng.rand(v - 1, b, h, w) + 0.1).astype(np.float32))
+    dmin = jnp.full((b,), 4.0, jnp.float32)
+    dmax = jnp.full((b,), 10.0, jnp.float32)
+
+    def run(grid, fs):
+        return local_cost_volume(
+            inv, [fs[i] for i in range(v)], pp, 1.0 / 32, dmin, dmax,
+            cost_num=4, group_dim=4, view_weights=vw,
+            warp_kernel="pallas", warp_grid_launch=grid)
+
+    cost_g, samp_g = jax.jit(lambda fs: run(True, fs))(feats)
+    cost_s, samp_s = jax.jit(lambda fs: run(False, fs))(feats)
+    np.testing.assert_array_equal(np.asarray(samp_g), np.asarray(samp_s))
+    np.testing.assert_allclose(np.asarray(cost_g), np.asarray(cost_s),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(grid, fs):
+        cost, _ = run(grid, fs)
+        return jnp.sum(cost * cost)
+
+    g_g = np.asarray(jax.jit(jax.grad(lambda fs: loss(True, fs)))(feats))
+    g_s = np.asarray(jax.jit(jax.grad(lambda fs: loss(False, fs)))(feats))
+    np.testing.assert_allclose(g_g, g_s, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_launch_full_sweep_matches(rng):
+    """grid_launch over the grouped-window full sweep (InitialStage
+    shape: window_group=8, D=8) equals per-sample launches and the XLA
+    oracle."""
+    from diffmvs_tpu.ops.correlation import warp_and_correlate
+    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
+
+    b, h, w, c, d = 2, 48, 128, 16, 8
+    cams = make_cams(2, h * 2, w * 2)
+    projs = stage_projs(cams)["stage3"]
+    rp = jnp.asarray(np.broadcast_to(projs[0], (b, 2, 4, 4)).copy())
+    sp = jnp.asarray(np.broadcast_to(projs[1], (b, 2, 4, 4)).copy())
+    src = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    planes = 1.0 / np.linspace(1 / 10.0, 1 / 4.0, d, dtype=np.float32)
+    depths = jnp.asarray(np.broadcast_to(
+        planes.reshape(1, d, 1, 1), (b, d, h, w)).copy())
+
+    got_g = np.asarray(jax.jit(lambda *a: warp_corr_pallas(
+        *a, 4, window_group=8, grid_launch=True))(
+            src, ref, sp, rp, depths))
+    got_s = np.asarray(jax.jit(lambda *a: warp_corr_pallas(
+        *a, 4, window_group=8))(src, ref, sp, rp, depths))
+    want = np.asarray(jax.jit(lambda *a: warp_and_correlate(*a, 4))(
+        src, ref, sp, rp, depths))
+    np.testing.assert_allclose(got_g, got_s, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got_g, want, rtol=1e-4, atol=1e-5)
