@@ -164,7 +164,7 @@ def trace_component(which, overrides: str = ""):
     from diffmvs_tpu.nn.feature import FeatureNet
     from diffmvs_tpu.utils.synthetic import synthetic_inputs
 
-    B, H, W, ND, V = 4, 1152, 1600, 384, 5
+    B, H, W, ND, V = int(os.environ.get("TRACE_B", "4")), 1152, 1600, 384, 5
     cfg = tpu_optimized(dataclasses.replace(
         CASDIFFMVS, numdepth_initial=48, numdepth=ND,
         compute_dtype="bfloat16"))
