@@ -115,6 +115,11 @@ class ModelConfig:
     # per-sample launches: removes N-1 custom-call boundaries per cost
     # volume (each costs ~0.6 ms in situ beyond the kernel's isolated
     # time — trace attribution, docs/perf_breakdown.md). A/B with
+    # run the refinement mask heads on the s2d(s0) grid — the native
+    # 3x3 cin=16 conv at stage-3 res is in the measured worst conv
+    # class (docs/perf_breakdown.md conv matrix); identical math and
+    # param tree (bench.py --set mask_s2d=True)
+    mask_s2d: bool = False
     # bench.py --set warp_grid_launch=True; composes with
     # warp_fold_views (then ONE launch per cost volume).
     warp_grid_launch: bool = False

@@ -118,6 +118,7 @@ class CasDiffMVS(nn.Module):
                 encoder_s2d=cfg.encoder_s2d,
                 conv_pallas=cfg.conv_pallas,
                 unroll=cfg.unroll_iters,
+                mask_s2d=cfg.mask_s2d,
                 dtype=dt,
                 name=f"update_block{s}"))
         self.hidden_inits = hidden_inits

@@ -149,6 +149,7 @@ class RefinementStage(nn.Module):
     encoder_s2d: int = 0
     conv_pallas: bool = False
     unroll: bool = False
+    mask_s2d: bool = False       # run the mask head on the s2d(s0) grid
     dtype: Optional[Any] = None
 
     @property
@@ -192,8 +193,9 @@ class RefinementStage(nn.Module):
             encoder_s2d=self.encoder_s2d,
             conv_pallas=self.conv_pallas,
             dtype=self.dtype, name="cell")
-        self.mask = UpsampleMaskHead(self.up_ratio, dtype=self.dtype,
-                                     name="mask")
+        self.mask = UpsampleMaskHead(
+            self.up_ratio, s=self.s0 if self.mask_s2d else 1,
+            dtype=self.dtype, name="mask")
 
     def _run_iters(self, inv_depth, inv_depth_new, delta, hidden, context,
                    t, features, proj_pairs, depth_min, depth_max,

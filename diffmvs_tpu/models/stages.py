@@ -27,13 +27,32 @@ class UpsampleMaskHead(nn.Module):
     """conv3x3 -> ReLU -> conv1x1(9*r*r) mask head, scaled by 0.25.
 
     Parity: module.py:481-484,511 and update.py:335-339,463,473.
+
+    s > 1 runs the identical math on the s2d(s) grid (nn/s2d.py): the
+    native 3x3 with cin=16 at stage-3 resolution is in the measured
+    worst small-channel conv class on v5e (docs/perf_breakdown.md conv
+    matrix); on the grid it becomes a 2x2 conv with cin%128==0. Same
+    'conv1'/'conv2' param tree either way.
     """
 
     ratio: int
+    s: int = 1
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, context):
+        if self.s > 1:
+            from diffmvs_tpu.nn.s2d import ConvS2D, from_s2d, to_s2d
+
+            x = to_s2d(context, self.s)
+            x = ConvS2D(64, (3, 3), s=self.s,
+                        kernel_init=torch_kernel_init, dtype=self.dtype,
+                        name="conv1")(x)
+            x = nn.relu(x)
+            x = ConvS2D(self.ratio * self.ratio * 9, (1, 1), s=self.s,
+                        kernel_init=torch_kernel_init, dtype=self.dtype,
+                        name="conv2")(x)
+            return 0.25 * from_s2d(x, self.s)
         x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=torch_kernel_init, dtype=self.dtype,
                     name="conv1")(context)

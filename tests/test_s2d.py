@@ -594,3 +594,25 @@ def test_feature_net_fold_head_parity(rng):
     for p, v in flat_w.items():
         np.testing.assert_allclose(np.asarray(flat_g[p]), np.asarray(v),
                                    rtol=5e-4, atol=2e-4, err_msg=p)
+
+
+def test_upsample_mask_head_s2d_parity(rng):
+    """UpsampleMaskHead(s>1) == native, same params (stage-2 s=2 and
+    stage-3 s=4 shapes; the s2d path is a pure layout change)."""
+    from diffmvs_tpu.models.stages import UpsampleMaskHead
+
+    for s, ratio in ((2, 2), (4, 2)):
+        h, w = 8 * s, 16 * s
+        head = UpsampleMaskHead(ratio)
+        head_s = UpsampleMaskHead(ratio, s=s)
+        ctx = jnp.asarray(rng.rand(2, h, w, 16).astype(np.float32))
+        variables = head.init(jax.random.PRNGKey(0), ctx)
+        vs = head_s.init(jax.random.PRNGKey(0), ctx)
+        assert (jax.tree_util.tree_map(lambda a: a.shape,
+                                       variables["params"])
+                == jax.tree_util.tree_map(lambda a: a.shape,
+                                          vs["params"]))
+        want = head.apply(variables, ctx)
+        got = head_s.apply(variables, ctx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
