@@ -286,10 +286,10 @@ def main(batch: int = 0, overrides: str = ""):
     if platform == "cpu":   # smoke-run configuration
         bsz, h, w, cfg_nd, nd_init, reps = 1, 128, 160, 64, 16, 2
     else:
-        # batch 8 view-sets per forward (production serving batches
-        # scenes' view-sets; measured 17.80 vs 15.27 maps/s at B=4 —
-        # docs/bench_r4.json; fits comfortably in one chip's HBM)
-        bsz, h, w, cfg_nd, nd_init, reps = 8, 1152, 1600, 384, 48, 6
+        # batch 16 view-sets per forward (production serving batches
+        # scenes' view-sets; measured 19.18 maps/s vs 17.84 at B=8 and
+        # 15.27 at B=4 — docs/bench_r5.json; fits in one chip's HBM)
+        bsz, h, w, cfg_nd, nd_init, reps = 16, 1152, 1600, 384, 48, 6
     if batch:
         bsz = batch
 
@@ -385,7 +385,7 @@ if __name__ == "__main__":
                         help="warp-kernel backward mode for --train "
                              "(recompute|analytic|pallas)")
     parser.add_argument("--batch", type=int, default=0,
-                        help="override view-set batch size (default 4)")
+                        help="override view-set batch size (default 16)")
     parser.add_argument("--set", default="", dest="overrides",
                         help="ModelConfig overrides for A/Bs, e.g. "
                              "feature_phase_opt=True[,unroll_iters=False]")

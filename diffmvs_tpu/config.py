@@ -103,26 +103,9 @@ class ModelConfig:
     # identical values; A/B with bench.py --set warp_native_agg=False.
     warp_native_agg: bool = True
 
-    # Fold all source views into ONE warp_corr_pallas call (batch axis
-    # = V-1 x B): shared operand prep / window geometry across views
-    # instead of per-view XLA glue. Launch count and kernel math are
-    # unchanged (per-sample launches inside). A/B with
-    # bench.py --set warp_fold_views=True. MEASURED -0.6 maps/s at B=8
-    # (docs/bench_r4.json) — stays off.
-    warp_fold_views: bool = False
-
-    # One N-wide-grid pallas launch per warp_corr call instead of N
-    # per-sample launches: removes N-1 custom-call boundaries per cost
-    # volume (each costs ~0.6 ms in situ beyond the kernel's isolated
-    # time — trace attribution, docs/perf_breakdown.md). A/B with
-    # run the refinement mask heads on the s2d(s0) grid — the native
-    # 3x3 cin=16 conv at stage-3 res is in the measured worst conv
-    # class (docs/perf_breakdown.md conv matrix); identical math and
-    # param tree (bench.py --set mask_s2d=True)
-    mask_s2d: bool = False
-    # bench.py --set warp_grid_launch=True; composes with
-    # warp_fold_views (then ONE launch per cost volume).
-    warp_grid_launch: bool = False
+    # Concluded layout experiments (hardware-measured, flags removed):
+    # warp_fold_views -0.6 maps/s (docs/bench_r4.json), warp_grid_launch
+    # neutral and mask_s2d neutral (docs/bench_r5.json).
 
     # Run the refinement UNet + condition encoder in space-to-depth
     # layout (nn/s2d.py): identical math and parameters, but the
@@ -156,17 +139,9 @@ class ModelConfig:
     # feature_s2d.
     feature_fold_head: bool = False
 
-    # Run the FPN's 1/4-res tail (conv2_1/conv2_2, inner1, out2) on the
-    # s2d(2) grid where conv cin == 128 exactly — XLA's TPU conv fast
-    # path; the native 32/64-ch convs at that resolution are
-    # patch-materialization-bound at 5.5-8 ms each (tools/probe_conv.py,
-    # docs/bench_r4.json). Identical math + param tree
-    # (nn/feature.py FeatureNet.tail_s2d). Needs feature_s2d.
-    feature_tail_s2d: bool = False
-
-    # Same 1/4-res tail treatment for ContextNet (layer2_1, output2,
-    # layer3_0 on the s2d(2) grid). Needs context_s2d.
-    context_tail_s2d: bool = False
+    # (feature_tail_s2d / context_tail_s2d — the 1/4-res FPN/context
+    # tails on the s2d(2) grid — measured a WASH end-to-end at B=8
+    # (17.90 vs 17.93, docs/bench_r4.json) and were removed.)
 
     # ...and for the stage-1 PixelViewWeight 3D convs (G=8 lanes).
     stage1_s2d: bool = False

@@ -66,18 +66,14 @@ class CasDiffMVS(nn.Module):
             phase_opt=cfg.feature_phase_opt,
             fold_head=cfg.feature_fold_head,
             conv_pallas=cfg.conv_pallas,
-            tail_s2d=cfg.feature_tail_s2d,
             dtype=dt)
         self.context = ContextNet(out_dim=cfg.ctx_out_dim,
                                   s2d=cfg.context_s2d,
-                                  tail_s2d=cfg.context_tail_s2d,
                                   conv_pallas=cfg.conv_pallas, dtype=dt)
         self.depthnet = InitialStage(
             group_dim=cfg.cost_dim_stage[0], up_ratio=2,
             warp_kernel=cfg.warp_kernel, warp_bwd=cfg.warp_bwd,
             warp_glue=cfg.warp_glue[0],
-            fold_views=cfg.warp_fold_views,
-            grid_launch=cfg.warp_grid_launch,
             stage1_s2d=cfg.stage1_s2d,
             dtype=dt)
 
@@ -112,13 +108,10 @@ class CasDiffMVS(nn.Module):
                 warp_bwd=cfg.warp_bwd,
                 warp_glue=cfg.warp_glue[s],
                 warp_native_agg=cfg.warp_native_agg,
-                warp_fold_views=cfg.warp_fold_views,
-                warp_grid_launch=cfg.warp_grid_launch,
                 unet_s2d=cfg.unet_s2d,
                 encoder_s2d=cfg.encoder_s2d,
                 conv_pallas=cfg.conv_pallas,
                 unroll=cfg.unroll_iters,
-                mask_s2d=cfg.mask_s2d,
                 dtype=dt,
                 name=f"update_block{s}"))
         self.hidden_inits = hidden_inits

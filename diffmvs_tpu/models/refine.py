@@ -55,8 +55,6 @@ class RefineIteration(nn.Module):
     warp_bwd: str = "recompute"
     warp_glue: bool = True
     warp_native_agg: bool = True
-    warp_fold_views: bool = False
-    warp_grid_launch: bool = False
     unet_s2d: bool = False
     encoder_s2d: int = 0         # 0 = the UNet factor; 2 = run the
                                  # condition encoder at s2d(2) + one
@@ -103,9 +101,7 @@ class RefineIteration(nn.Module):
             min_radius=self.min_radius, max_radius=self.max_radius,
             use_confidence=has_conf, warp_kernel=self.warp_kernel,
             warp_bwd=self.warp_bwd, warp_glue=self.warp_glue,
-            warp_native_agg=self.warp_native_agg,
-            warp_fold_views=self.warp_fold_views,
-            warp_grid_launch=self.warp_grid_launch)
+            warp_native_agg=self.warp_native_agg)
         input_features = self.encoder(
             inv_new[..., None], samples.transpose(0, 2, 3, 1), cost)
         input_unet = jnp.concatenate([context, input_features], axis=-1)
@@ -143,13 +139,10 @@ class RefinementStage(nn.Module):
     warp_bwd: str = "recompute"
     warp_glue: bool = True
     warp_native_agg: bool = True
-    warp_fold_views: bool = False
-    warp_grid_launch: bool = False
     unet_s2d: bool = False
     encoder_s2d: int = 0
     conv_pallas: bool = False
     unroll: bool = False
-    mask_s2d: bool = False       # run the mask head on the s2d(s0) grid
     dtype: Optional[Any] = None
 
     @property
@@ -187,15 +180,12 @@ class RefinementStage(nn.Module):
             warp_bwd=self.warp_bwd,
             warp_glue=self.warp_glue,
             warp_native_agg=self.warp_native_agg,
-            warp_fold_views=self.warp_fold_views,
-            warp_grid_launch=self.warp_grid_launch,
             unet_s2d=self.unet_s2d,
             encoder_s2d=self.encoder_s2d,
             conv_pallas=self.conv_pallas,
             dtype=self.dtype, name="cell")
         self.mask = UpsampleMaskHead(
-            self.up_ratio, s=self.s0 if self.mask_s2d else 1,
-            dtype=self.dtype, name="mask")
+            self.up_ratio, dtype=self.dtype, name="mask")
 
     def _run_iters(self, inv_depth, inv_depth_new, delta, hidden, context,
                    t, features, proj_pairs, depth_min, depth_max,

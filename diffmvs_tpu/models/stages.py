@@ -27,32 +27,15 @@ class UpsampleMaskHead(nn.Module):
     """conv3x3 -> ReLU -> conv1x1(9*r*r) mask head, scaled by 0.25.
 
     Parity: module.py:481-484,511 and update.py:335-339,463,473.
-
-    s > 1 runs the identical math on the s2d(s) grid (nn/s2d.py): the
-    native 3x3 with cin=16 at stage-3 resolution is in the measured
-    worst small-channel conv class on v5e (docs/perf_breakdown.md conv
-    matrix); on the grid it becomes a 2x2 conv with cin%128==0. Same
-    'conv1'/'conv2' param tree either way.
+    (An s2d-grid variant of this head was measured NEUTRAL end-to-end
+    — docs/bench_r5.json mask_s2d row — and removed.)
     """
 
     ratio: int
-    s: int = 1
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, context):
-        if self.s > 1:
-            from diffmvs_tpu.nn.s2d import ConvS2D, from_s2d, to_s2d
-
-            x = to_s2d(context, self.s)
-            x = ConvS2D(64, (3, 3), s=self.s,
-                        kernel_init=torch_kernel_init, dtype=self.dtype,
-                        name="conv1")(x)
-            x = nn.relu(x)
-            x = ConvS2D(self.ratio * self.ratio * 9, (1, 1), s=self.s,
-                        kernel_init=torch_kernel_init, dtype=self.dtype,
-                        name="conv2")(x)
-            return 0.25 * from_s2d(x, self.s)
         x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=torch_kernel_init, dtype=self.dtype,
                     name="conv1")(context)
@@ -76,8 +59,6 @@ class InitialStage(nn.Module):
     warp_kernel: str = "xla"
     warp_bwd: str = "recompute"
     warp_glue: bool = True       # batched kernel glue (config.warp_glue)
-    fold_views: bool = False     # one kernel call over all source views
-    grid_launch: bool = False    # one N-wide launch per kernel call
     stage1_s2d: bool = False     # s2d layout for PixelViewWeight
     dtype: Optional[Any] = None
 
@@ -102,59 +83,27 @@ class InitialStage(nn.Module):
                               dtype=self.dtype, name="pixel_view_weight")
 
         cor_list, weight_list = [], []
-        nviews = len(features) - 1
-        if (self.warp_kernel == "pallas_full" and self.fold_views
-                and nviews > 1):
-            # ONE kernel call with the views folded into the batch axis:
-            # shared operand prep (plane-sweep coords, window geometry,
-            # ref/src relayouts) across all V-1 source views instead of
-            # per-view XLA glue; identical per-sample launches inside
-            # (_warp_corr_impl). Same math — the kernel treats batch
-            # entries independently. PVW stays per-view below (its BN
-            # batch moments must see each view separately, matching the
-            # reference's per-view calls, module.py:529-533).
-            from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
+        for i, src_fea in enumerate(features[1:]):
+            # "pallas" applies the fused kernel to the refinement
+            # stages only; "pallas_full" also routes this full sweep
+            # through it (grouped windows: 8 adjacent planes share
+            # one DMA window)
+            if self.warp_kernel == "pallas_full":
+                from diffmvs_tpu.ops.pallas.warp_corr import (
+                    warp_corr_pallas)
 
-            b = ref_fea.shape[0]
-            src = jnp.concatenate(features[1:], axis=0)      # [V*B,...]
-            sp = (proj_pairs[:, 1:].transpose(1, 0, 2, 3, 4)
-                  .reshape(nviews * b, 2, 4, 4))
-            rp = jnp.concatenate([proj_pairs[:, 0]] * nviews)
-            ref = jnp.concatenate([ref_fea] * nviews)
-            dv = jnp.concatenate([depth_values] * nviews)
-            cor_all = warp_corr_pallas(
-                src, ref, sp, rp, dv, self.group_dim,
-                window_group=8, batch_glue=self.warp_glue,
-                grid_launch=self.grid_launch,
-                bwd=self.warp_bwd).astype(ref_fea.dtype)
-            cor_all = cor_all.reshape((nviews, b) + cor_all.shape[1:])
-            for i in range(nviews):
-                cor = cor_all[i]
-                weight_list.append(pvw(cor, train))    # [B,H,W]
-                cor_list.append(cor)
-        else:
-            for i, src_fea in enumerate(features[1:]):
-                # "pallas" applies the fused kernel to the refinement
-                # stages only; "pallas_full" also routes this full sweep
-                # through it (grouped windows: 8 adjacent planes share
-                # one DMA window)
-                if self.warp_kernel == "pallas_full":
-                    from diffmvs_tpu.ops.pallas.warp_corr import (
-                        warp_corr_pallas)
-
-                    cor = warp_corr_pallas(
-                        src_fea, ref_fea, proj_pairs[:, i + 1],
-                        proj_pairs[:, 0], depth_values, self.group_dim,
-                        window_group=8, batch_glue=self.warp_glue,
-                        grid_launch=self.grid_launch,
-                        bwd=self.warp_bwd).astype(ref_fea.dtype)
-                else:
-                    cor = warp_and_correlate(
-                        src_fea, ref_fea, proj_pairs[:, i + 1],
-                        proj_pairs[:, 0], depth_values,
-                        self.group_dim)                # [B,D,H,W,G]
-                weight_list.append(pvw(cor, train))    # [B,H,W]
-                cor_list.append(cor)
+                cor = warp_corr_pallas(
+                    src_fea, ref_fea, proj_pairs[:, i + 1],
+                    proj_pairs[:, 0], depth_values, self.group_dim,
+                    window_group=8, batch_glue=self.warp_glue,
+                    bwd=self.warp_bwd).astype(ref_fea.dtype)
+            else:
+                cor = warp_and_correlate(
+                    src_fea, ref_fea, proj_pairs[:, i + 1],
+                    proj_pairs[:, 0], depth_values,
+                    self.group_dim)                # [B,D,H,W,G]
+            weight_list.append(pvw(cor, train))    # [B,H,W]
+            cor_list.append(cor)
 
         cor_feats = jnp.stack(cor_list)                # [V-1,B,D,H,W,G]
         view_weights = jnp.stack(weight_list)          # [V-1,B,H,W]
@@ -176,9 +125,7 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
                       warp_kernel: str = "xla",
                       warp_bwd: str = "recompute",
                       warp_glue: bool = True,
-                      warp_native_agg: bool = True,
-                      warp_fold_views: bool = False,
-                      warp_grid_launch: bool = False):
+                      warp_native_agg: bool = True):
     """Per-iteration local cost volume around the current inverse depth.
 
     Parity: GetCost (module.py:575-667) — sample cost_num hypotheses
@@ -218,37 +165,15 @@ def local_cost_volume(inv_depth, features, proj_pairs, depth_interval,
         from diffmvs_tpu.ops.pallas.warp_corr import (aggregate_native_cost,
                                                       warp_corr_pallas)
 
-        nviews = len(features) - 1
-        if warp_fold_views and nviews > 1:
-            # ONE kernel call with views folded into the batch axis:
-            # shared operand prep / window geometry / epilogue across all
-            # source views (the per-view XLA glue was ~12 ms per stage-3
-            # cost volume); per-sample launches inside are unchanged.
-            b = ref_fea.shape[0]
-            src = jnp.concatenate(features[1:], axis=0)       # [V*B,...]
-            sp = (proj_pairs[:, 1:].transpose(1, 0, 2, 3, 4)
-                  .reshape(nviews * b, 2, 4, 4))
-            rp = jnp.concatenate([proj_pairs[:, 0]] * nviews)
-            ref = jnp.concatenate([ref_fea] * nviews)
-            dv = jnp.concatenate([depth_hyp] * nviews)
+        for i, src_fea in enumerate(features[1:]):
+            # batched call: shared prep/epilogue, per-sample launches
+            # inside (_warp_corr_impl)
             cor = warp_corr_pallas(
-                src, ref, sp, rp, dv, group_dim, batch_glue=warp_glue,
-                bwd=warp_bwd, native_out=warp_native_agg,
-                grid_launch=warp_grid_launch)
-            cor = cor.astype(ref_fea.dtype)
-            cor = cor.reshape((nviews, b) + cor.shape[1:])
-            cor_list = list(cor)
-        else:
-            for i, src_fea in enumerate(features[1:]):
-                # batched call: shared prep/epilogue, per-sample launches
-                # inside (_warp_corr_impl)
-                cor = warp_corr_pallas(
-                    src_fea, ref_fea, proj_pairs[:, i + 1],
-                    proj_pairs[:, 0], depth_hyp, group_dim,
-                    batch_glue=warp_glue, bwd=warp_bwd,
-                    native_out=warp_native_agg,
-                    grid_launch=warp_grid_launch)
-                cor_list.append(cor.astype(ref_fea.dtype))
+                src_fea, ref_fea, proj_pairs[:, i + 1],
+                proj_pairs[:, 0], depth_hyp, group_dim,
+                batch_glue=warp_glue, bwd=warp_bwd,
+                native_out=warp_native_agg)
+            cor_list.append(cor.astype(ref_fea.dtype))
         if warp_native_agg:
             # weight-sum the views in the kernel's native layout and pay
             # ONE relayout straight into the reference's g*D+d channel

@@ -92,14 +92,9 @@ class ResidualBlockS2D(nn.Module):
 class ContextNet(nn.Module):
     out_dim: Tuple[int, int, int] = (64, 64, 36)  # hidden+context per stage
     s2d: bool = False
-    # tail_s2d (needs s2d): run the 1/4-res tail (layer2_1, output2,
-    # layer3_0) on the s2d(2) grid where conv cin is a multiple of 128
-    # — XLA's TPU conv fast path; the native 32-ch convs at 1/4 res
-    # are patch-materialization-bound at ~5.5 ms each
-    # (tools/probe_conv.py `sgrid_*` rows, docs/bench_r4.json). Same
-    # recipe as nn/feature.py FeatureNet.tail_s2d; identical math and
-    # parameter tree.
-    tail_s2d: bool = False
+    # (A tail_s2d variant — the 1/4-res tail on the s2d(2) grid —
+    # measured a WASH end-to-end at B=8 (docs/bench_r4.json) and was
+    # removed, same conclusion as nn/feature.py.)
     # inference-only fused conv+BN(+ReLU) Pallas kernel for the s2d
     # blocks (see nn/feature.py ConvBnActS2D.pallas)
     conv_pallas: bool = False
@@ -142,26 +137,13 @@ class ContextNet(nn.Module):
 
             x = ResidualBlock(32, strides=2, dtype=dt,
                               name="layer2_0")(x, train)
-        if self.s2d and self.tail_s2d:
-            xs2 = to_s2d(x, 2)
-            xs2 = ResidualBlockS2D(32, strides=1, s=2, dtype=dt,
-                                   pallas=pallas,
-                                   name="layer2_1")(xs2, train)
-            out2 = ConvS2D(self.out_dim[1], (3, 3), s=2,
-                           kernel_init=torch_kernel_init,
-                           dtype=dt, name="output2")(xs2)
-            ctx["stage2"] = from_s2d(out2, 2)
-            x = ResidualBlockS2D(48, strides=2, s=2, dtype=dt,
-                                 pallas=pallas,
-                                 name="layer3_0")(xs2, train)  # -> native
-        else:
-            x = ResidualBlock(32, strides=1, dtype=dt,
-                              name="layer2_1")(x, train)
-            ctx["stage2"] = conv(self.out_dim[1], 3, padding=1,
-                                 dtype=dt, name="output2")(x)
+        x = ResidualBlock(32, strides=1, dtype=dt,
+                          name="layer2_1")(x, train)
+        ctx["stage2"] = conv(self.out_dim[1], 3, padding=1,
+                             dtype=dt, name="output2")(x)
 
-            x = ResidualBlock(48, strides=2, dtype=dt,
-                              name="layer3_0")(x, train)
+        x = ResidualBlock(48, strides=2, dtype=dt,
+                          name="layer3_0")(x, train)
         x = ResidualBlock(48, strides=1, dtype=dt, name="layer3_1")(x, train)
         ctx["stage1"] = conv(self.out_dim[0], 3, padding=1,
                              dtype=dt, name="output1")(x)

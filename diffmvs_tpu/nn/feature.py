@@ -176,18 +176,10 @@ class FeatureNet(nn.Module):
     # through its affine-free form. Same params; trace attribution
     # showed these convs 3-7x off roofline under XLA.
     conv_pallas: bool = False
-    # tail_s2d (needs s2d): run the 1/4-res tail — conv2_1/conv2_2,
-    # inner1, out2 — on the s2d(2) grid (144x200 at bench scale) where
-    # the conv input channels are 128 EXACTLY. Hardware probes
-    # (tools/probe_conv.py `sgrid_*` rows, docs/bench_r4.json) show
-    # XLA's TPU conv fast path requires cin == 128: the native 288x400
-    # 32/64-channel convs are patch-materialization-bound at 5.5-8 ms
-    # each vs ~1.5 ms for the identical math as a cin-128 conv on the
-    # half-size grid. The x2 nearest upsample of c3 becomes pure
-    # channel duplication (upsample_nearest_s2d), and conv3_0 consumes
-    # the s2d(2) c2 directly via a strided ConvS2D. Identical math and
-    # parameter tree (nn/s2d.py expansion is exact).
-    tail_s2d: bool = False
+    # (A tail_s2d variant — the 1/4-res tail on the s2d(2) grid —
+    # measured a WASH end-to-end (17.90 vs 17.93 maps/s at B=8,
+    # docs/bench_r4.json) and was removed: the probe-level cin==128
+    # conv wins didn't survive the extra relayouts in situ.)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -204,18 +196,8 @@ class FeatureNet(nn.Module):
                                     pallas=True, name=name)
             return ConvBnAct(feats, k, 1, k // 2, dtype=dt, name=name)
 
-        tail = self.tail_s2d and self.s2d
-
         def conv2_tail(c2):
-            """conv2_1/conv2_2 over the native 1/4-res c2 — on the
-            s2d(2) grid (cin == 128 exactly, the XLA conv fast path)
-            when tail_s2d; identical math + param tree either way."""
-            if tail:
-                c2 = to_s2d(c2, 2)
-                for nm in ("conv2_1", "conv2_2"):
-                    c2 = ConvBnActS2D(bc * 4, 3, 1, s=2, dtype=dt,
-                                      pallas=pallas, name=nm)(c2, train)
-                return c2
+            """conv2_1/conv2_2 over the native 1/4-res c2."""
             c2 = cba_nat("conv2_1", bc * 4)(c2, train)
             return cba_nat("conv2_2", bc * 4)(c2, train)
 
@@ -274,12 +256,8 @@ class FeatureNet(nn.Module):
             c2 = ConvBnAct(bc * 4, 3, 1, 1, dtype=dt,
                            name="conv2_2")(c2, train)
 
-        if tail:
-            c3 = ConvBnActS2D(bc * 8, 5, 2, s=2, dtype=dt, pallas=pallas,
-                              name="conv3_0")(c2, train)
-        else:
-            c3 = ConvBnAct(bc * 8, 5, 2, 2, dtype=dt,
-                           name="conv3_0")(c2, train)
+        c3 = ConvBnAct(bc * 8, 5, 2, 2, dtype=dt,
+                       name="conv3_0")(c2, train)
         c3 = cba_nat("conv3_1", bc * 8)(c3, train)
         c3 = cba_nat("conv3_2", bc * 8)(c3, train)
 
@@ -288,36 +266,19 @@ class FeatureNet(nn.Module):
         outputs["stage1"] = conv(self.out_channels[0], 1, use_bias=False,
                                  dtype=dt, name="out1")(intra)
 
-        if tail:
-            # 1/4-res merge + stage-2 head entirely on the s2d(2) grid:
-            # the x2 nearest upsample of c3 is pure channel duplication,
-            # inner1 is a phase-diagonal 1x1, out2 runs with cin == 128
-            # blocks on the half-size grid
-            lat1 = ConvS2D(bc * 8, (1, 1), s=2,
-                           kernel_init=torch_kernel_init,
-                           dtype=dt, name="inner1")(c2)
-            intra = upsample_nearest_s2d(intra, 1) + lat1
-            out2s = ConvS2D(self.out_channels[1], (3, 3), s=2,
-                            use_bias=False, kernel_init=torch_kernel_init,
-                            dtype=dt, name="out2")(intra)
-            outputs["stage2"] = from_s2d(out2s, 2)
-            # the stage-3 head consumes intra natively (fold3 concat
-            # with c1 needs the 64-ch 1/4-res map)
-            intra = from_s2d(intra, 2)
-        else:
-            intra = upsample_nearest(intra, 2) + conv(
-                bc * 8, 1, use_bias=True, dtype=dt, name="inner1")(c2)
-            if pallas:
-                from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
+        intra = upsample_nearest(intra, 2) + conv(
+            bc * 8, 1, use_bias=True, dtype=dt, name="inner1")(c2)
+        if pallas:
+            from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
 
-                w2h, _ = _ConvParams(self.out_channels[1], (3, 3), bc * 8,
-                                     use_bias=False, name="out2")()
-                outputs["stage2"] = conv2d_fused(
-                    intra, w2h.astype(intra.dtype))
-            else:
-                outputs["stage2"] = conv(self.out_channels[1], 3, padding=1,
-                                         use_bias=False, dtype=dt,
-                                         name="out2")(intra)
+            w2h, _ = _ConvParams(self.out_channels[1], (3, 3), bc * 8,
+                                 use_bias=False, name="out2")()
+            outputs["stage2"] = conv2d_fused(
+                intra, w2h.astype(intra.dtype))
+        else:
+            outputs["stage2"] = conv(self.out_channels[1], 3, padding=1,
+                                     use_bias=False, dtype=dt,
+                                     name="out2")(intra)
 
         if self.out_channels[2] > 0:
             if self.s2d and self.fold_head:

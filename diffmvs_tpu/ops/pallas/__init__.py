@@ -9,7 +9,8 @@ stage-1 full sweep ("pallas_full", grouped windows) — see
 docs/perf_breakdown.md for the measured history and
 `model_miss_fraction` for the runtime banding guard.
 
-`attic/` — superseded v1 (warp-only) and rejected v3 (fused view
-accumulation) kernels, kept as documented engineering history. Not
-shipping.
+(Superseded kernel iterations — the v1 warp-only kernel and the
+rejected v3 fused-view-accumulation kernel — were deleted in round 5;
+their designs and measurements remain in docs/perf_breakdown.md and
+docs/pallas_warp_plan.md, recoverable from git history.)
 """

@@ -1,7 +1,7 @@
 """Fused Pallas warp + group-correlation kernel (v2 of the banded warp).
 
-Replaces the v1 warp-only kernel (attic/warp_refine.py) on the hot
-path. Differences
+Replaces the round-1 warp-only kernel (deleted; see git history and
+docs/pallas_warp_plan.md) on the hot path. Differences
 (each measured individually on v5e, see docs/perf_breakdown.md):
 
   1. **Fused group correlation**: the reference-feature tile rides along as
@@ -508,6 +508,114 @@ def _window_geometry(xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows=ROWS,
     return packed_t, rstart_t, (hb, t_tiles, w_pad, h_pad, ws_pad, nw)
 
 
+def _tile_geometry(rot, trans, depth_values, hs, ws, wg, win_k,
+                   rows=ROWS, band=BAND_ROWS, win_w=WIN_W, tile=TILE):
+    """Plane-sweep coords + window geometry, directly in tile layout.
+
+    Replaces plane_sweep_coords + _corner_split + _window_geometry on
+    the rowbatch path. Those computed full-res coords in [N, D, H, W]
+    layout, materialized padded int corner tensors, ran the window/band
+    min-reductions over reshuffled axes, and finally 6-D-transposed the
+    coords into the kernel's tile layout — measured ~95 ms of XLA glue
+    + ~43 ms of coord prep per stage-3 refinement call at B=8 vs the
+    kernel's own 139 ms (hwlogs/trace_stage3_b8.txt, round-5 trace
+    attribution). Here everything is emitted in the kernel-native
+    [N, HB, T, D, rows, tile] layout from broadcasted iotas + the
+    per-sample affine projection, so the window/band minima reduce over
+    MINOR axes of the producer loop and no transpose or padded int
+    tensor ever materializes. Outputs are value-identical to the old
+    path (same valid/min/clip semantics; coords differ only by the
+    fma rounding of the 3x3 matmul, and padded pixels are marked
+    invalid instead of carrying 0.0 coords — both discarded by the
+    epilogue's [:h, :w] slice).
+
+    rot: [N, 3, 3], trans: [N, 3]; depth_values: [N, D, H, W].
+    Returns (x_t, y_t [N*HB*T, D, rows, tile] f32 kernel operands,
+             packed bases [NW, T, N*HB] int32,
+             rstarts [T, N*HB, D*rows] int32 (rowbatch layout),
+             dims (hb, t_tiles, w_pad, h_pad, ws_pad, nw)).
+    """
+    n, d, h, w = depth_values.shape
+    t_tiles = -(-w // tile)
+    w_pad = t_tiles * tile
+    hb = -(-h // rows)
+    h_pad = hb * rows
+    nw = -(-d // wg)
+    ws2, hs2 = ws + 2, hs + 2
+    ws_pad = max(-(-ws2 // GATHER_W) * GATHER_W, win_w)
+
+    # depth hypotheses in tile layout (shared across all source views of
+    # a cost volume through XLA CSE — ONE relayout per call, where the
+    # old path paid two [x, y] relayouts per view)
+    dv = _pad_to(_pad_to(depth_values, w_pad, axis=3), h_pad, axis=2)
+    dv_t = (dv.reshape(n, d, hb, rows, t_tiles, tile)
+            .transpose(0, 2, 4, 1, 3, 5))    # [N, HB, T, D, rows, tile]
+
+    shape6 = (n, hb, t_tiles, d, rows, tile)
+    yi6 = (jax.lax.broadcasted_iota(jnp.int32, shape6, 1) * rows
+           + jax.lax.broadcasted_iota(jnp.int32, shape6, 4))
+    xi6 = (jax.lax.broadcasted_iota(jnp.int32, shape6, 2) * tile
+           + jax.lax.broadcasted_iota(jnp.int32, shape6, 5))
+    inb = (xi6 < w) & (yi6 < h)
+    xg = xi6.astype(jnp.float32)
+    yg = yi6.astype(jnp.float32)
+
+    def bcast(v):                       # [N] -> [N,1,1,1,1,1]
+        return v.reshape((n,) + (1,) * 5)
+
+    # proj = (rot @ [X, Y, 1]) * depth + trans  (plane_sweep_coords)
+    px = (bcast(rot[:, 0, 0]) * xg + bcast(rot[:, 0, 1]) * yg
+          + bcast(rot[:, 0, 2])) * dv_t + bcast(trans[:, 0])
+    py = (bcast(rot[:, 1, 0]) * xg + bcast(rot[:, 1, 1]) * yg
+          + bcast(rot[:, 1, 2])) * dv_t + bcast(trans[:, 1])
+    pz = (bcast(rot[:, 2, 0]) * xg + bcast(rot[:, 2, 1]) * yg
+          + bcast(rot[:, 2, 2])) * dv_t + bcast(trans[:, 2])
+    pz = jnp.where(pz == 0.0, 1e-8, pz)                # module.py:206
+    # padded pixels get an explicitly-invalid coordinate (in-kernel
+    # valid derivation then zeroes them; the old path's 0.0-padded
+    # coords could gather real samples — equally discarded, less tidy)
+    x = jnp.where(inb, px / pz, -10.0)
+    y = jnp.where(inb, py / pz, -10.0)
+
+    # integer corners + validity (exactly _corner_split, minus the
+    # clip that only mattered where valid anyway)
+    xi = jnp.floor(x).astype(jnp.int32) + 1
+    yi = jnp.floor(y).astype(jnp.int32) + 1
+    valid = (xi >= 0) & (xi <= ws) & (yi >= 0) & (yi <= hs)
+    big = jnp.int32(10 ** 8)
+    xs = jnp.where(valid, xi, big)
+    ys = jnp.where(valid, yi, big)
+
+    # per-(d, row, tile) band row minimum -> rstarts
+    row_min = jnp.min(ys, axis=5)                  # [N, HB, T, D, rows]
+
+    # per-(window-group, row-block, tile) window bases
+    if d % wg:
+        pad6 = [(0, 0)] * 6
+        pad6[3] = (0, nw * wg - d)
+        xs = jnp.pad(xs, pad6, constant_values=10 ** 8)
+        ys = jnp.pad(ys, pad6, constant_values=10 ** 8)
+    xs = xs.reshape(n, hb, t_tiles, nw, wg, rows, tile)
+    ys = ys.reshape(n, hb, t_tiles, nw, wg, rows, tile)
+    bx = jnp.clip(jnp.min(xs, axis=(4, 5, 6)), 0, ws_pad - win_w)
+    if win_w > GATHER_W:
+        bx = (bx // GATHER_W) * GATHER_W           # 128-aligned DMA base
+    by = jnp.clip(jnp.min(ys, axis=(4, 5, 6)), 0, hs2 - win_k)
+    packed = (by * 65536 + bx).astype(jnp.int32)   # [N, HB, T, NW]
+    bases = packed.transpose(3, 2, 0, 1).reshape(nw, t_tiles, n * hb)
+
+    by_full = jnp.repeat(by, wg, axis=3)[:, :, :, :d]   # [N, HB, T, D]
+    rstart = jnp.clip(row_min - by_full[..., None], 0,
+                      win_k - band).astype(jnp.int32)
+    rstarts = (rstart.transpose(2, 0, 1, 3, 4)
+               .reshape(t_tiles, n * hb, d * rows))
+
+    x_t = x.reshape(n * hb * t_tiles, d, rows, tile)
+    y_t = y.reshape(n * hb * t_tiles, d, rows, tile)
+    dims = (hb, t_tiles, w_pad, h_pad, ws_pad, nw)
+    return x_t, y_t, bases, rstarts, dims
+
+
 def _corner_split(x, y, hs, ws):
     """Integer corners into the 1-padded source + fractions + validity,
     exactly matching the packed XLA path's semantics."""
@@ -530,7 +638,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      batch_rows: bool = True, win_w: int = 0,
                      tile: int = 0, chunk_cap: int = 4096,
                      batch_glue: bool = True, bwd: str = "recompute",
-                     native_out: bool = False, grid_launch: bool = False,
+                     native_out: bool = False,
                      interpret: bool = False):
     """Fused plane-sweep warp + group correlation for one source view.
 
@@ -571,7 +679,7 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                   band=band, packed=packed, skip=skip,
                   batch_rows=batch_rows, win_w=win_w, tile=tile,
                   chunk_cap=chunk_cap, native_out=native_out,
-                  grid_launch=grid_launch, interpret=interpret)
+                  interpret=interpret)
 
     def impl(src, ref, sp, rp, dv):
         if batch_glue or src.shape[0] == 1:
@@ -654,7 +762,7 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                     band: int = BAND_ROWS, packed=None, skip: str = "",
                     batch_rows: bool = True, win_w: int = 0,
                     tile: int = 0, chunk_cap: int = 4096,
-                    native_out: bool = False, grid_launch: bool = False,
+                    native_out: bool = False,
                     interpret: bool = False):
     n, hs, ws, c = src_fea.shape
     _, d, h, w = depth_values.shape
@@ -703,12 +811,18 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
         "win_w != WIN_W is an interpret-only experimental mode"
 
     rot, trans = relative_projection(src_pair, ref_pair)
-    x, y = plane_sweep_coords(rot, trans, depth_values)
-    xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
-
-    bases, rstarts, dims = _window_geometry(
-        xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band, win_w,
-        tile)
+    if use_rowbatch:
+        # coords + window geometry fused in tile layout (no full-res
+        # transposes / padded int tensors — see _tile_geometry)
+        x_t, y_t, bases, rstarts, dims = _tile_geometry(
+            rot, trans, depth_values, hs, ws, wg, win_k, rows, band,
+            win_w, tile)
+    else:
+        x, y = plane_sweep_coords(rot, trans, depth_values)
+        xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
+        bases, rstarts, dims = _window_geometry(
+            xi, yi, valid, d, h, w, hs, ws, wg, win_k, rows, band,
+            win_w, tile)
     hb, t_tiles, w_pad, h_pad, ws_pad, nw = dims
 
     def pad_hw(a, value=0):
@@ -779,13 +893,11 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                                    win_k=win_k, groups=groups, band=band,
                                    hs=hs, ws=ws, dchunk=dchunk,
                                    win_w=win_w, packed=packed)
-        # [D, rows, T, N*HB] -> [T, N*HB, D*rows] (large dim minor; see
-        # kernel docstring re SMEM padding)
-        rstarts = rstarts.transpose(2, 3, 0, 1).reshape(
-            t_tiles, -1, d * rows)
+        # rstarts already in the rowbatch [T, N*HB, D*rows] layout
+        # (large dim minor; see kernel docstring re SMEM padding).
         # raw float coords only; corners/fractions/validity derive
         # in-kernel (3 fewer operand arrays to lay out and DMA)
-        operands = (tile_view(x, jnp.float32), tile_view(y, jnp.float32))
+        operands = (x_t, y_t)
         in_specs = [spec, spec, ref_spec,
                     pl.BlockSpec(memory_space=pl.ANY)]
     else:
@@ -817,13 +929,11 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
             interpret=interpret,
         )(bases_l, rstarts_l, *operands_l, ref_l, src_l)
 
-    if n == 1 or grid_launch:
-        # grid_launch: ONE pallas_call with the sample axis as the
-        # leading grid dimension. Isolated this measured slower than
-        # per-sample launches (stage-3: 9.2 vs 6.0 ms) but it removes
-        # n-1 custom-call boundaries per cost volume — in situ each
-        # launch costs ~1.46 ms vs 0.85 isolated (trace attribution,
-        # docs/perf_breakdown.md), so the boundary tax can dominate.
+    if n == 1:
+        # (An N-wide-grid single-launch variant was measured NEUTRAL
+        # end-to-end at B=8 — docs/bench_r5.json warp_grid_launch row —
+        # and removed; per-sample launches pipeline better in isolation,
+        # stage-3 6.0 vs 9.2 ms, docs/perf_breakdown.md.)
         out = launch(n, bases, rstarts, operands, ref_t, src_t)
     else:
         # batched call: ONE shared operand prep / window geometry /

@@ -1,6 +1,5 @@
 """Fused Pallas warp+correlation kernel (v2, shipping) vs the XLA path
-(interpret mode). Superseded v1/v3 kernels are tested in
-test_pallas_attic.py."""
+(interpret mode)."""
 
 import numpy as np
 import jax
@@ -71,7 +70,11 @@ def test_warp_corr_fused_matches_xla(rng):
 
 def test_warp_corr_batched_matches_per_sample(rng):
     """n > 1 takes the shared-prep + per-sample-launch path
-    (_warp_corr_impl): must equal per-sample n = 1 calls exactly."""
+    (_warp_corr_impl): must equal per-sample n = 1 calls. Tolerance is
+    fp-tight but not exact: the plane-sweep coords are computed inside
+    the fused tile-layout geometry (_tile_geometry), and XLA's fma
+    contraction of that fusion can differ between the n=3 and n=1
+    graphs by an ulp."""
     from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
 
     src1, ref1, sp, rp, depths1 = _corr_setup(rng)
@@ -93,16 +96,17 @@ def test_warp_corr_batched_matches_per_sample(rng):
         )(src[j:j + 1], ref[j:j + 1], spn[j:j + 1], rpn[j:j + 1],
           depths[j:j + 1]))
         np.testing.assert_allclose(got[j:j + 1], want_j,
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-5)
 
     # the batch_glue=False A/B mode (fully per-sample prep) is the same
-    # computation routed through n separate impls — must match exactly
+    # computation routed through n separate impls — fp-tight match
+    # (same fma-contraction caveat as above)
     ab = np.asarray(jax.jit(
         lambda s, r, a, b, dd: warp_corr_pallas(s, r, a, b, dd, 4,
                                                 batch_glue=False,
                                                 interpret=True)
     )(src, ref, spn, rpn, depths))
-    np.testing.assert_array_equal(got, ab)
+    np.testing.assert_allclose(got, ab, rtol=1e-4, atol=1e-5)
 
 
 def test_warp_corr_packed_bf16_matches_f32(rng):
@@ -151,7 +155,10 @@ def test_warp_corr_sweep_window_groups(rng):
         lambda s, r, a, b, dd: warp_corr_pallas(
             s, r, a, b, dd, 4, window_group=4, interpret=True)
     )(src, ref, sp, rp, depths))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # atol 5e-5: the kernel's coords come from the fused tile-layout
+    # geometry whose fma rounding differs from plane_sweep_coords'
+    # matmul by an ulp (one pixel in ~200k trips the tighter bound)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
 
 
 def test_strong_rotation_guard_triggers(rng):
@@ -262,151 +269,73 @@ def test_local_cost_volume_native_agg_matches(rng):
     np.testing.assert_allclose(g_n, g_s, rtol=1e-5, atol=1e-6)
 
 
-def test_local_cost_volume_fold_views_matches(rng):
-    """warp_fold_views=True (all source views folded into ONE kernel
-    call's batch axis) must equal the per-view-call path — values AND
-    feature gradients. The fold only batches the operand prep; the
-    kernel math per (view, sample) is identical."""
-    from diffmvs_tpu.models.stages import local_cost_volume
-
-    b, h, w, c, v = 2, 48, 128, 16, 3
-    cams = make_cams(v, h * 2, w * 2)
-    projs = stage_projs(cams)["stage3"]       # [V, 2, 4, 4]
-    pp = jnp.asarray(np.broadcast_to(projs, (b,) + projs.shape).copy())
-    feats = jnp.asarray(rng.randn(v, b, h, w, c).astype(np.float32))
-    inv = jnp.asarray((rng.rand(b, h, w) * 0.5 + 0.25).astype(np.float32))
-    vw = jnp.asarray((rng.rand(v - 1, b, h, w) + 0.1).astype(np.float32))
-    dmin = jnp.full((b,), 4.0, jnp.float32)
-    dmax = jnp.full((b,), 10.0, jnp.float32)
-
-    def run(fold, fs):
-        return local_cost_volume(
-            inv, [fs[i] for i in range(v)], pp, 1.0 / 32, dmin, dmax,
-            cost_num=4, group_dim=4, view_weights=vw,
-            warp_kernel="pallas", warp_fold_views=fold)
-
-    cost_f, samp_f = jax.jit(lambda fs: run(True, fs))(feats)
-    cost_s, samp_s = jax.jit(lambda fs: run(False, fs))(feats)
-    np.testing.assert_array_equal(np.asarray(samp_f), np.asarray(samp_s))
-    np.testing.assert_allclose(np.asarray(cost_f), np.asarray(cost_s),
-                               rtol=1e-6, atol=1e-7)
-
-    def loss(fold, fs):
-        cost, _ = run(fold, fs)
-        return jnp.sum(cost * cost)
-
-    g_f = np.asarray(jax.jit(jax.grad(lambda fs: loss(True, fs)))(feats))
-    g_s = np.asarray(jax.jit(jax.grad(lambda fs: loss(False, fs)))(feats))
-    np.testing.assert_allclose(g_f, g_s, rtol=1e-5, atol=1e-6)
 
 
-def test_initial_stage_fold_views_matches(rng):
-    """InitialStage(fold_views=True) == fold_views=False with the same
-    variables: the stage-1 full sweep folded into one kernel call (PVW
-    stays per-view either way, so the param/batch-stats trees and BN
-    moment semantics are untouched)."""
-    from diffmvs_tpu.models.stages import InitialStage
-
-    b, h, w, c, v, d = 1, 48, 128, 16, 3, 8
-    cams = make_cams(v, h * 2, w * 2)
-    projs = stage_projs(cams)["stage3"]
-    pp = jnp.asarray(np.broadcast_to(projs, (b,) + projs.shape).copy())
-    feats = [jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-             for _ in range(v)]
-    ctx = jnp.asarray(rng.randn(b, h, w, 8).astype(np.float32))
-    base = 6.0 + 1.5 * rng.rand(b, 1, h, w).astype(np.float32)
-    offs = (np.arange(d, dtype=np.float32) - d / 2) * 0.05
-    depths = jnp.asarray(base + offs.reshape(1, d, 1, 1))
-
-    def scale_inv_depth(nd):
-        return nd, 1.0 / (0.1 + 0.9 * jnp.clip(nd, 0.0, 1.0) / 6.0)
-
-    def build(fold):
-        return InitialStage(group_dim=4, up_ratio=2,
-                            warp_kernel="pallas_full", fold_views=fold)
-
-    variables = build(False).init(
-        jax.random.PRNGKey(0), feats, ctx, pp, depths, scale_inv_depth,
-        train=False)
-    vs = build(True).init(
-        jax.random.PRNGKey(0), feats, ctx, pp, depths, scale_inv_depth,
-        train=False)
-    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
-            == jax.tree_util.tree_map(lambda a: a.shape, vs))
-
-    out_s = jax.jit(lambda v_, f: build(False).apply(
-        v_, f, ctx, pp, depths, scale_inv_depth, train=False))(
-            variables, feats)
-    out_f = jax.jit(lambda v_, f: build(True).apply(
-        v_, f, ctx, pp, depths, scale_inv_depth, train=False))(
-            variables, feats)
-    for a, b_ in zip(out_s, out_f):
-        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
-                                   rtol=1e-5, atol=1e-6)
 
 
-def test_local_cost_volume_grid_launch_matches(rng):
-    """warp_grid_launch=True (ONE N-wide-grid launch per kernel call,
-    sample axis = leading grid dim) must equal the per-sample-launch
-    path — values AND feature gradients. Only the launch structure
-    differs; the per-(sample, window, tile) kernel body is identical."""
-    from diffmvs_tpu.models.stages import local_cost_volume
 
-    b, h, w, c, v = 2, 48, 128, 16, 3
-    cams = make_cams(v, h * 2, w * 2)
-    projs = stage_projs(cams)["stage3"]       # [V, 2, 4, 4]
-    pp = jnp.asarray(np.broadcast_to(projs, (b,) + projs.shape).copy())
-    feats = jnp.asarray(rng.randn(v, b, h, w, c).astype(np.float32))
-    inv = jnp.asarray((rng.rand(b, h, w) * 0.5 + 0.25).astype(np.float32))
-    vw = jnp.asarray((rng.rand(v - 1, b, h, w) + 0.1).astype(np.float32))
-    dmin = jnp.full((b,), 4.0, jnp.float32)
-    dmax = jnp.full((b,), 10.0, jnp.float32)
+def test_tile_geometry_matches_legacy(rng):
+    """_tile_geometry (fused tile-layout coords + window geometry, the
+    rowbatch operand path) == the legacy plane_sweep_coords +
+    _corner_split + _window_geometry pipeline: bases/rstarts exactly,
+    coords to fp tolerance (fma vs matmul rounding), at refinement and
+    grouped-sweep shapes."""
+    from diffmvs_tpu.geometry.transforms import relative_projection
+    from diffmvs_tpu.geometry.warp import plane_sweep_coords
+    from diffmvs_tpu.ops.pallas.warp_corr import (
+        GATHER_W, WIN_K, _corner_split, _tile_geometry, _window_geometry)
 
-    def run(grid, fs):
-        return local_cost_volume(
-            inv, [fs[i] for i in range(v)], pp, 1.0 / 32, dmin, dmax,
-            cost_num=4, group_dim=4, view_weights=vw,
-            warp_kernel="pallas", warp_grid_launch=grid)
+    for hs, ws, d, wg, spread, stage in (
+            (48, 128, 4, 4, 0.02, "stage3"),      # refinement, 1 tile
+            (48, 200, 4, 4, 0.02, "stage3"),      # ragged width
+            (24, 100, 16, 8, 0.15, "stage1"),     # grouped sweep
+    ):
+        src, ref, sp, rp, depths = _corr_setup(
+            rng, hs=hs, ws=ws, d=d, spread=spread, stage=stage)
+        n, dd, h, w = depths.shape
+        rows, band, win_w, tile = 16, 4, 256, GATHER_W
+        win_k = min(WIN_K, hs + 2)
+        rot, trans = relative_projection(sp, rp)
 
-    cost_g, samp_g = jax.jit(lambda fs: run(True, fs))(feats)
-    cost_s, samp_s = jax.jit(lambda fs: run(False, fs))(feats)
-    np.testing.assert_array_equal(np.asarray(samp_g), np.asarray(samp_s))
-    np.testing.assert_allclose(np.asarray(cost_g), np.asarray(cost_s),
-                               rtol=1e-6, atol=1e-7)
+        x, y = plane_sweep_coords(rot, trans, depths)
+        xi, yi, fx, fy, valid = _corner_split(x, y, hs, ws)
+        bases0, rstarts0, dims0 = _window_geometry(
+            xi, yi, valid, dd, h, w, hs, ws, wg, win_k, rows, band,
+            win_w, tile)
+        # legacy rstarts [D, rows, T, N*HB] -> rowbatch [T, N*HB, D*rows]
+        t_tiles = dims0[1]
+        rstarts0 = np.asarray(rstarts0).transpose(2, 3, 0, 1).reshape(
+            t_tiles, -1, dd * rows)
 
-    def loss(grid, fs):
-        cost, _ = run(grid, fs)
-        return jnp.sum(cost * cost)
+        x_t, y_t, bases1, rstarts1, dims1 = _tile_geometry(
+            rot, trans, depths, hs, ws, wg, win_k, rows, band, win_w,
+            tile)
+        assert dims1 == dims0
+        np.testing.assert_array_equal(np.asarray(bases1),
+                                      np.asarray(bases0))
+        np.testing.assert_array_equal(np.asarray(rstarts1), rstarts0)
 
-    g_g = np.asarray(jax.jit(jax.grad(lambda fs: loss(True, fs)))(feats))
-    g_s = np.asarray(jax.jit(jax.grad(lambda fs: loss(False, fs)))(feats))
-    np.testing.assert_allclose(g_g, g_s, rtol=1e-5, atol=1e-6)
+        # coords match where in-image (padded pixels differ by design:
+        # legacy pads 0.0, fused marks them invalid with -10.0)
+        hb = dims0[0]
+        h_pad, w_pad = hb * rows, t_tiles * tile
+        xp = np.zeros((n, dd, h_pad, w_pad), np.float32)
+        yp = np.zeros_like(xp)
+        xp[:, :, :h, :w] = np.asarray(x)
+        yp[:, :, :h, :w] = np.asarray(y)
 
+        def to_tile(a):
+            return (a.reshape(n, dd, hb, rows, t_tiles, tile)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(n * hb * t_tiles, dd, rows, tile))
 
-def test_grid_launch_full_sweep_matches(rng):
-    """grid_launch over the grouped-window full sweep (InitialStage
-    shape: window_group=8, D=8) equals per-sample launches and the XLA
-    oracle."""
-    from diffmvs_tpu.ops.correlation import warp_and_correlate
-    from diffmvs_tpu.ops.pallas.warp_corr import warp_corr_pallas
-
-    b, h, w, c, d = 2, 48, 128, 16, 8
-    cams = make_cams(2, h * 2, w * 2)
-    projs = stage_projs(cams)["stage3"]
-    rp = jnp.asarray(np.broadcast_to(projs[0], (b, 2, 4, 4)).copy())
-    sp = jnp.asarray(np.broadcast_to(projs[1], (b, 2, 4, 4)).copy())
-    src = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    ref = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    planes = 1.0 / np.linspace(1 / 10.0, 1 / 4.0, d, dtype=np.float32)
-    depths = jnp.asarray(np.broadcast_to(
-        planes.reshape(1, d, 1, 1), (b, d, h, w)).copy())
-
-    got_g = np.asarray(jax.jit(lambda *a: warp_corr_pallas(
-        *a, 4, window_group=8, grid_launch=True))(
-            src, ref, sp, rp, depths))
-    got_s = np.asarray(jax.jit(lambda *a: warp_corr_pallas(
-        *a, 4, window_group=8))(src, ref, sp, rp, depths))
-    want = np.asarray(jax.jit(lambda *a: warp_and_correlate(*a, 4))(
-        src, ref, sp, rp, depths))
-    np.testing.assert_allclose(got_g, got_s, rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(got_g, want, rtol=1e-4, atol=1e-5)
+        inb = np.zeros((h_pad, w_pad), bool)
+        inb[:h, :w] = True
+        inb_t = to_tile(np.broadcast_to(inb, (n, dd) + inb.shape)
+                        .astype(np.float32)) > 0
+        np.testing.assert_allclose(np.asarray(x_t)[inb_t],
+                                   to_tile(xp)[inb_t],
+                                   rtol=1e-5, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(y_t)[inb_t],
+                                   to_tile(yp)[inb_t],
+                                   rtol=1e-5, atol=2e-4)

@@ -202,65 +202,6 @@ def test_feature_net_s2d_parity(rng):
                                    np.asarray(v), rtol=2e-3, atol=5e-5)
 
 
-def test_feature_net_tail_s2d_parity(rng):
-    """FeatureNet(s2d, tail_s2d=True) == FeatureNet(s2d=False), same
-    params, eval AND train mode: the 1/4-res tail (conv2_1/2_2, conv3_0,
-    inner1, out2) moved onto the s2d(2) grid is the same math (exact
-    kernel expansion + channel-dup upsample + one-hot relayouts)."""
-    from diffmvs_tpu.nn.feature import FeatureNet
-
-    net = FeatureNet(base_channels=8, out_channels=(48, 32, 16))
-    net_s = FeatureNet(base_channels=8, out_channels=(48, 32, 16),
-                       s2d=True, tail_s2d=True)
-    x = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
-    variables = net.init(jax.random.PRNGKey(0), x, False)
-    vs = net_s.init(jax.random.PRNGKey(0), x, False)
-    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
-            == jax.tree_util.tree_map(lambda a: a.shape, vs))
-
-    want = net.apply(variables, x, False)
-    got = net_s.apply(variables, x, False)
-    for k in want:
-        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
-                                   rtol=2e-3, atol=5e-5)
-
-    # train mode: outputs AND updated batch_stats match
-    want_t, wstats = net.apply(variables, x, True,
-                               mutable=["batch_stats"])
-    got_t, gstats = net_s.apply(variables, x, True,
-                                mutable=["batch_stats"])
-    for k in want_t:
-        np.testing.assert_allclose(np.asarray(got_t[k]),
-                                   np.asarray(want_t[k]),
-                                   rtol=2e-3, atol=5e-5)
-    flat_w = jax.tree_util.tree_leaves_with_path(wstats)
-    flat_g = {jax.tree_util.keystr(p): v
-              for p, v in jax.tree_util.tree_leaves_with_path(gstats)}
-    for p, v in flat_w:
-        np.testing.assert_allclose(
-            np.asarray(flat_g[jax.tree_util.keystr(p)]),
-            np.asarray(v), rtol=2e-3, atol=5e-5)
-
-
-def test_feature_net_tail_s2d_with_phase_opt_fold(rng):
-    """tail_s2d composes with the shipped phase_opt + fold_head stack
-    (the tpu_optimized flag set) — eval-mode parity vs plain NHWC."""
-    from diffmvs_tpu.nn.feature import FeatureNet
-
-    net = FeatureNet(base_channels=8, out_channels=(48, 32, 16))
-    net_s = FeatureNet(base_channels=8, out_channels=(48, 32, 16),
-                       s2d=True, phase_opt=True, fold_head=True,
-                       tail_s2d=True)
-    x = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
-    variables = net.init(jax.random.PRNGKey(0), x, False)
-    vs = net_s.init(jax.random.PRNGKey(0), x, False)
-    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
-            == jax.tree_util.tree_map(lambda a: a.shape, vs))
-    want = net.apply(variables, x, False)
-    got = net_s.apply(variables, x, False)
-    for k in want:
-        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
-                                   rtol=2e-3, atol=5e-5)
 
 
 def test_full_model_s2d_parity(rng):
@@ -515,40 +456,6 @@ def test_context_net_s2d_parity(rng):
                                    rtol=2e-3, atol=5e-5)
 
 
-def test_context_net_tail_s2d_parity(rng):
-    """ContextNet(s2d, tail_s2d=True) == ContextNet(s2d=False): the
-    1/4-res tail (layer2_1, output2, layer3_0) moved onto the s2d(2)
-    grid is the same math and parameter tree, eval AND train mode."""
-    from diffmvs_tpu.nn.context import ContextNet
-
-    net = ContextNet(out_dim=(64, 64, 36))
-    net_s = ContextNet(out_dim=(64, 64, 36), s2d=True, tail_s2d=True)
-    x = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
-    variables = net.init(jax.random.PRNGKey(0), x, False)
-    vs = net_s.init(jax.random.PRNGKey(0), x, False)
-    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
-            == jax.tree_util.tree_map(lambda a: a.shape, vs))
-
-    want = net.apply(variables, x, False)
-    got = net_s.apply(variables, x, False)
-    for k in want:
-        np.testing.assert_allclose(np.asarray(got[k]),
-                                   np.asarray(want[k]),
-                                   rtol=2e-3, atol=5e-5)
-
-    want_t, wstats = net.apply(variables, x, True, mutable=["batch_stats"])
-    got_t, gstats = net_s.apply(variables, x, True, mutable=["batch_stats"])
-    for k in want_t:
-        np.testing.assert_allclose(np.asarray(got_t[k]),
-                                   np.asarray(want_t[k]),
-                                   rtol=2e-3, atol=5e-5)
-    flat_g = {jax.tree_util.keystr(p): v
-              for p, v in jax.tree_util.tree_leaves_with_path(gstats)}
-    for p, v in jax.tree_util.tree_leaves_with_path(wstats):
-        np.testing.assert_allclose(
-            np.asarray(flat_g[jax.tree_util.keystr(p)]),
-            np.asarray(v), rtol=2e-3, atol=5e-5)
-
 
 def test_feature_net_fold_head_parity(rng):
     """FeatureNet(s2d, fold_head=True) == FeatureNet(s2d), same params
@@ -596,23 +503,3 @@ def test_feature_net_fold_head_parity(rng):
                                    rtol=5e-4, atol=2e-4, err_msg=p)
 
 
-def test_upsample_mask_head_s2d_parity(rng):
-    """UpsampleMaskHead(s>1) == native, same params (stage-2 s=2 and
-    stage-3 s=4 shapes; the s2d path is a pure layout change)."""
-    from diffmvs_tpu.models.stages import UpsampleMaskHead
-
-    for s, ratio in ((2, 2), (4, 2)):
-        h, w = 8 * s, 16 * s
-        head = UpsampleMaskHead(ratio)
-        head_s = UpsampleMaskHead(ratio, s=s)
-        ctx = jnp.asarray(rng.rand(2, h, w, 16).astype(np.float32))
-        variables = head.init(jax.random.PRNGKey(0), ctx)
-        vs = head_s.init(jax.random.PRNGKey(0), ctx)
-        assert (jax.tree_util.tree_map(lambda a: a.shape,
-                                       variables["params"])
-                == jax.tree_util.tree_map(lambda a: a.shape,
-                                          vs["params"]))
-        want = head.apply(variables, ctx)
-        got = head_s.apply(variables, ctx)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-4, atol=1e-5)

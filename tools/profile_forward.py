@@ -135,8 +135,7 @@ def main(selected):
                 lambda x: fnet_p.apply(fvars_p, x, False), flat_imgs)
 
     cnet = ContextNet(out_dim=cfg.ctx_out_dim,
-                      s2d=cfg.context_s2d,
-                      tail_s2d=cfg.context_tail_s2d, dtype=dt)
+                      s2d=cfg.context_s2d, dtype=dt)
     cvars = cnet.init(key, imgs[:1, 0], False)
     measure("context_net(B imgs)",
             lambda x: cnet.apply(cvars, x, False), imgs[:, 0])
