@@ -24,11 +24,17 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 import numpy as np
 
 
-def bench_io(workers: int):
+def bench_io(workers: int, predecoded: bool = False):
     """Host input-pipeline throughput at DTU eval resolution (the device
     target of 20 maps/s needs ~100 decodes+resizes/s on the host;
     reference feeds its GPU with 8 DataLoader workers, train.py:359-362).
-    Prints its own JSON line (not the judged device metric)."""
+    Prints its own JSON line (not the judged device metric).
+
+    predecoded: serve uint8 .npy images already at eval resolution (the
+    serving-cache contract, data/mvs.py) — measures the pipeline with
+    JPEG decode+resize off the path, proving the device rate is
+    host-reachable when decode isn't the wall (per-core decode ceiling
+    is ~6 view-sets/s; docs/perf_breakdown.md host-pipeline table)."""
     import tempfile
 
     from PIL import Image
@@ -44,8 +50,14 @@ def bench_io(workers: int):
         rng = np.random.RandomState(0)
         img = (rng.rand(1200, 1600, 3) * 255).astype(np.uint8)
         for i in range(n_views_total):
-            Image.fromarray(img).save(
-                os.path.join(scan, f"images/{i:08d}.jpg"))
+            if predecoded:
+                np.save(os.path.join(scan, f"images/{i:08d}.npy"),
+                        np.ascontiguousarray(
+                            (rng.rand(1152, 1600, 3) * 255)
+                            .astype(np.uint8)))
+            else:
+                Image.fromarray(img).save(
+                    os.path.join(scan, f"images/{i:08d}.jpg"))
             k = np.array([[1920.0, 0, 800], [0, 1920.0, 600], [0, 0, 1]])
             with open(os.path.join(scan, f"cams_1/{i:08d}_cam.txt"),
                       "w") as f:
@@ -73,7 +85,8 @@ def bench_io(workers: int):
         elapsed = time.perf_counter() - t0
         value = n / elapsed
         print(json.dumps({
-            "metric": f"host_input_pipeline_dtu_workers{workers}",
+            "metric": f"host_input_pipeline_dtu_workers{workers}"
+                      + ("_predecoded" if predecoded else ""),
             "value": round(value, 4),
             "unit": "view_sets/s",
             "vs_baseline": round(value / 40.0, 4),   # 2x device target
@@ -85,7 +98,7 @@ def bench_train(bwd: str = "", overrides: str = ""):
     (DTU 640x512, B=4, N=5 — train.py:179-231). Prints its own JSON
     line; tracked so kernel work cannot regress training silently.
     bwd: override the warp kernel's backward mode
-    ("recompute"|"analytic"|"pallas", config.ModelConfig.warp_bwd).
+    ("recompute"|"pallas", config.ModelConfig.warp_bwd).
     overrides: comma-separated ModelConfig field=value pairs, applied
     AFTER the fast-path resolver — the train-path A/B hook (the s2d
     layouts pay s^2 x FLOPs in train mode where phase_opt must fall
@@ -379,11 +392,14 @@ if __name__ == "__main__":
     parser.add_argument("--io", action="store_true",
                         help="host input-pipeline throughput instead")
     parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--predecoded", action="store_true",
+                        help="--io with pre-decoded uint8 .npy images "
+                             "(serving-cache contract; decode-free)")
     parser.add_argument("--train", action="store_true",
                         help="train-step throughput instead")
     parser.add_argument("--bwd", default="",
                         help="warp-kernel backward mode for --train "
-                             "(recompute|analytic|pallas)")
+                             "(recompute|pallas)")
     parser.add_argument("--batch", type=int, default=0,
                         help="override view-set batch size (default 16)")
     parser.add_argument("--set", default="", dest="overrides",
@@ -402,7 +418,7 @@ if __name__ == "__main__":
         bench_train(a.bwd)
         bench_io(a.workers)
     elif a.io:
-        bench_io(a.workers)
+        bench_io(a.workers, a.predecoded)
     elif a.train:
         bench_train(a.bwd, a.overrides)
     else:

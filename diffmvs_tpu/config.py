@@ -80,13 +80,15 @@ class ModelConfig:
     warp_kernel: str = "xla"
 
     # Backward mode of the Pallas warp kernel's custom_vjp:
-    # "recompute" re-runs the exact XLA warp+corr under jax.vjp;
-    # "analytic" emits the cotangents directly in XLA (one gather + one
-    # scatter, ops/correlation.py:warp_corr_backward); "pallas" runs the
-    # banded Pallas backward kernel (gather for d_ref + MXU one-hot-
-    # matmul scatter for d_src, ops/pallas/warp_corr_bwd.py). All three
-    # produce identical gradients on guard-clean geometries
-    # (tests/test_gradients.py); speed is hardware-measured.
+    # "recompute" re-runs the exact XLA warp+corr under jax.vjp (the
+    # proven default); "pallas" runs the banded Pallas backward kernel
+    # (gather for d_ref + MXU one-hot-matmul scatter for d_src,
+    # ops/pallas/warp_corr_bwd.py) — the fastest mode when the kernel
+    # is on the training path (1.78 vs 1.47 samples/s,
+    # docs/bench_r4.json). Both produce identical gradients on
+    # guard-clean geometries (tests/test_gradients.py). A third
+    # "analytic" XLA gather+scatter mode measured strictly worse
+    # (0.68) and was removed in round 5.
     warp_bwd: str = "recompute"
 
     # Per-stage batched-glue mode of the Pallas kernel (shared operand

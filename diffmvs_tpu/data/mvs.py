@@ -126,8 +126,35 @@ class MVSDataset:
             base = (self.datapath if self.dataset == "general"
                     else os.path.join(self.datapath, scan))
             img_path = os.path.join(base, f"images/{vid:08d}.jpg")
+            npy_path = os.path.join(base, f"images/{vid:08d}.npy")
             intr, extr, depth_min, depth_max = read_cam_file(
                 os.path.join(base, self.cam_folder, f"{vid:08d}_cam.txt"))
+
+            if os.path.exists(npy_path):
+                # pre-decoded cache: uint8 [H, W, 3] ALREADY at the eval
+                # resolution, intrinsics in the cam file already matching
+                # it (the standard serving-cache contract; decode+resize
+                # are the host bottleneck at ~6 view-sets/s/core — see
+                # bench.py --io --predecoded and docs/perf_breakdown.md)
+                # plain load beats mmap_mode="r" here (8.2 vs 7.7
+                # view_sets/s measured — mmap page faults cost more
+                # than the buffered read on this host)
+                img = np.load(npy_path)
+                nw, nh, intr = self._target_wh(img.shape[1], img.shape[0],
+                                               intr)
+                if (nw, nh) != (img.shape[1], img.shape[0]):
+                    img = resize_image_bilinear(img, (nw, nh),
+                                                dtype=np.uint8)
+                imgs.append(img)
+                mat = np.zeros((2, 4, 4), dtype=np.float32)
+                mat[0] = extr
+                mat[1, :3, :3] = intr
+                proj_matrices.append(mat)
+                if i == 0:
+                    depth_values = np.linspace(
+                        1.0 / depth_max, 1.0 / depth_min, self.numdepth,
+                        dtype=np.float32)
+                continue
 
             data = dims = None
             if native_io.available():

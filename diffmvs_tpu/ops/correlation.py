@@ -58,63 +58,3 @@ def aggregate_views(cor_feats, view_weights):
     return num / den
 
 
-def warp_corr_backward(src_fea, ref_fea, src_pair, ref_pair, depth_values,
-                       g, groups):
-    """Analytic cotangents (d_src, d_ref) of warp_and_correlate.
-
-    Equals jax.vjp(warp_and_correlate)(g) for the feature inputs (the
-    projection matrices and depth hypotheses get zero cotangents — the
-    coords are stop_gradient'ed, geometry/warp.py:60-61), but without
-    re-running the correlation forward:
-
-      d_ref[p,c]  = (1/Cg) sum_d  g[d,p,grp(c)] * warped[d,p,c]
-      d_src       = bilinear scatter-add of (1/Cg) g[...,grp(c)] * ref
-
-    One gather (for warped) + one scatter — the recompute-based VJP pays
-    gather + correlation forward + the full transpose. This is also the
-    seam where a banded Pallas kernel can replace the XLA gather.
-    g: [B, D, H, W, G] cotangent of the correlation output.
-    Returns (d_src [B,Hs,Ws,C] f32, d_ref [B,H,W,C] f32).
-    """
-    b, hs, ws, c = src_fea.shape
-    _, d, h, w = depth_values.shape
-    cg = c // groups
-
-    rot, trans = relative_projection(src_pair, ref_pair)
-    from diffmvs_tpu.geometry.warp import plane_sweep_coords
-    x, y = plane_sweep_coords(rot, trans, depth_values)     # [B,D,H,W]
-
-    # g expanded over channels within each group: channel c = grp*Cg + i
-    gexp = jnp.repeat(g.astype(jnp.float32), cg, axis=-1)   # [B,D,H,W,C]
-
-    # d_ref: needs the warped features (one gather)
-    warped = plane_sweep_warp(src_fea, src_pair, ref_pair, depth_values)
-    d_ref = jnp.sum(warped.astype(jnp.float32) * gexp, axis=1) / cg
-
-    # d_src: scatter d_warped = gexp * ref / Cg through the bilinear
-    # corner weights (zero-padding semantics: invalid corners drop out)
-    d_warped = gexp * ref_fea[:, None].astype(jnp.float32) / cg
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = (x - x0)
-    wy = (y - y0)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    def scatter_one(dw_flat, idx_flat, upd_mask):
-        # dw_flat: [D*H*W, C]; idx_flat: [D*H*W]; upd_mask: [D*H*W]
-        out = jnp.zeros((hs * ws, c), jnp.float32)
-        return out.at[idx_flat].add(dw_flat * upd_mask[:, None])
-
-    d_src = jnp.zeros((b, hs * ws, c), jnp.float32)
-    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        xi = x0i + dx
-        yi = y0i + dy
-        valid = ((xi >= 0) & (xi < ws) & (yi >= 0) & (yi < hs))
-        wgt = ((wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy))
-        idx = jnp.where(valid, yi * ws + jnp.clip(xi, 0, ws - 1), 0)
-        upd = (d_warped * wgt[..., None]).reshape(b, d * h * w, c)
-        msk = (valid.astype(jnp.float32) * 1.0).reshape(b, d * h * w)
-        d_src = d_src + jax.vmap(scatter_one)(
-            upd, idx.reshape(b, d * h * w), msk)
-    return d_src.reshape(b, hs, ws, c), d_ref

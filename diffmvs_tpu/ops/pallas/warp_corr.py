@@ -731,24 +731,17 @@ def warp_corr_pallas(src_fea, ref_fea, src_pair, ref_pair, depth_values,
             return (ds.astype(src.dtype), dr.astype(ref.dtype),
                     jnp.zeros_like(sp), jnp.zeros_like(rp),
                     jnp.zeros_like(dv))
-        if bwd == "analytic":
-            # direct cotangents (one gather + one scatter): skips the
-            # correlation-forward recompute of the vjp path and exposes
-            # the gather as a future Pallas-kernel seam
-            from diffmvs_tpu.ops.correlation import warp_corr_backward
+        # default "recompute": re-run the exact XLA warp+corr under
+        # jax.vjp. (An "analytic" XLA gather+scatter mode existed and
+        # measured strictly worse in training — 0.68 vs 1.47 samples/s,
+        # docs/bench_r4.json — so it was removed in round 5.)
+        from diffmvs_tpu.ops.correlation import warp_and_correlate
 
-            ds, dr = warp_corr_backward(src, ref, sp, rp, dv,
-                                        g.astype(jnp.float32), groups)
-            ds = ds.astype(src.dtype)
-            dr = dr.astype(ref.dtype)
-        else:
-            from diffmvs_tpu.ops.correlation import warp_and_correlate
-
-            _, vjp = jax.vjp(
-                lambda s, r: warp_and_correlate(
-                    s, r, sp, rp, dv, groups).astype(jnp.float32),
-                src, ref)
-            ds, dr = vjp(g.astype(jnp.float32))
+        _, vjp = jax.vjp(
+            lambda s, r: warp_and_correlate(
+                s, r, sp, rp, dv, groups).astype(jnp.float32),
+            src, ref)
+        ds, dr = vjp(g.astype(jnp.float32))
         return (ds, dr, jnp.zeros_like(sp), jnp.zeros_like(rp),
                 jnp.zeros_like(dv))
 

@@ -217,3 +217,36 @@ def test_pipeline_worker_processes(tmp_path):
                 assert a[k] == b[k]
             else:
                 np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_eval_dataset_predecoded_npy(tmp_path):
+    """Pre-decoded uint8 .npy images (serving-cache contract): served
+    verbatim when already at the target size, intrinsics scale by 1;
+    identical sample structure to the JPEG path."""
+    from diffmvs_tpu.data.mvs import MVSDataset
+
+    root = tmp_path
+    os.makedirs(root / "images")
+    os.makedirs(root / "cams")
+    rng = np.random.RandomState(3)
+    raws = []
+    for i in range(3):
+        # already multiple-of-32 under max_h/max_w -> no resize
+        img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        raws.append(img)
+        np.save(root / "images" / f"{i:08d}.npy", img)
+        e = np.eye(4, dtype=np.float32)
+        e[0, 3] = 0.2 * i
+        _write_cam_txt(root / "cams" / f"{i:08d}_cam.txt", _k(), e,
+                       "2.5 0.05 192 10.0")
+    with open(root / "pair.txt", "w") as f:
+        f.write("3\n0\n2 1 10.0 2 5.0\n1\n2 0 10.0 2 5.0\n"
+                "2\n2 0 10.0 1 5.0\n")
+
+    ds = MVSDataset(str(root), n_views=3, numdepth=32, dataset="general")
+    s = ds[0]
+    assert s["imgs"].shape == (3, 64, 96, 3)
+    assert s["imgs"].dtype == np.uint8
+    np.testing.assert_array_equal(s["imgs"][0], raws[0])
+    # intrinsics unscaled (cache is at target resolution)
+    assert s["proj_matrices"]["stage4"][0, 1][0, 0] == pytest.approx(100.0)

@@ -131,9 +131,9 @@ def main():
                     print(f"{label:44s} FAILED: {str(e)[:80]}")
 
         # backward modes: grad of a sum-loss through the kernel
-        # (recompute = XLA-path vjp; analytic = direct XLA cotangents;
+        # (recompute = XLA-path vjp;
         # pallas = the banded backward kernel, warp_corr_bwd.py)
-        for bwd in ("recompute", "analytic", "pallas"):
+        for bwd in ("recompute", "pallas"):
             wg0 = wgs[0]
 
             def gfn(s, r, a, b, dd, _bwd=bwd, _wg=wg0):
