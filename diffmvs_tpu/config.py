@@ -148,13 +148,10 @@ class ModelConfig:
     # ...and for the stage-1 PixelViewWeight 3D convs (G=8 lanes).
     stage1_s2d: bool = False
 
-    # Inference-only: run the feature/context stride-1 conv+BN+ReLU
-    # stacks through the fused Pallas conv kernel
-    # (ops/pallas/conv2d.py) instead of XLA convs + elementwise passes
-    # (trace attribution showed them 3-7x off roofline). A/B via
-    # `bench.py --set conv_pallas=True`; default decided by hardware
-    # measurement.
-    conv_pallas: bool = False
+    # (A fused Pallas conv+BN+ReLU kernel for the feature/context/UNet
+    # conv stacks measured SLOWER than XLA on every production shape —
+    # docs/bench_r5.json conv_war_final — and was deleted in round 5;
+    # probe history in docs/perf_breakdown.md "the conv war".)
 
     # ...and for the ContextNet's full/half-res levels (C=8-16).
     context_s2d: bool = False

@@ -44,18 +44,27 @@ def plane_sweep_coords(rot, trans, depth_values):
         jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
-    grid = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(h * w, jnp.float32)])
+    # rot @ [X, Y, 1] written as explicit fused-multiply-adds instead of
+    # a matmul: elementwise fuses with the depth scaling below, and the
+    # SAME expression form is used by the Pallas kernel's tile-layout
+    # geometry (ops/pallas/warp_corr._tile_geometry) so both paths round
+    # coordinates identically (the MXU matmul rounded differently and
+    # cost ~1.9e-4 pallas-vs-xla parity on TPU; fma form restores ~1e-6)
+    xg = xs[None]                                          # [1, H, W]
+    yg = ys[None]
 
-    rot_xyz = jnp.matmul(rot, grid,
-                         precision=jax.lax.Precision.HIGHEST)  # [B, 3, H*W]
-    depth_flat = depth_values.reshape(b, 1, d, h * w)
-    proj_xyz = (rot_xyz[:, :, None, :] * depth_flat
-                + trans[:, :, None, None])                 # [B, 3, D, H*W]
+    def row(i):
+        r0 = rot[:, i, 0][:, None, None]
+        r1 = rot[:, i, 1][:, None, None]
+        r2 = rot[:, i, 2][:, None, None]
+        lin = r0 * xg + r1 * yg + r2                       # [B, H, W]
+        return (lin[:, None] * depth_values
+                + trans[:, i][:, None, None, None])        # [B, D, H, W]
 
-    z = proj_xyz[:, 2]
+    z = row(2)
     z = jnp.where(z == 0.0, 1e-8, z)                       # module.py:206
-    x = proj_xyz[:, 0] / z
-    y = proj_xyz[:, 1] / z
+    x = row(0) / z
+    y = row(1) / z
 
     x = jax.lax.stop_gradient(x).reshape(b, d, h, w)
     y = jax.lax.stop_gradient(y).reshape(b, d, h, w)

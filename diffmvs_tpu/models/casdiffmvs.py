@@ -65,11 +65,10 @@ class CasDiffMVS(nn.Module):
             out_channels=cfg.feat_dim_stage, s2d=cfg.feature_s2d,
             phase_opt=cfg.feature_phase_opt,
             fold_head=cfg.feature_fold_head,
-            conv_pallas=cfg.conv_pallas,
             dtype=dt)
         self.context = ContextNet(out_dim=cfg.ctx_out_dim,
                                   s2d=cfg.context_s2d,
-                                  conv_pallas=cfg.conv_pallas, dtype=dt)
+                                  dtype=dt)
         self.depthnet = InitialStage(
             group_dim=cfg.cost_dim_stage[0], up_ratio=2,
             warp_kernel=cfg.warp_kernel, warp_bwd=cfg.warp_bwd,
@@ -110,7 +109,6 @@ class CasDiffMVS(nn.Module):
                 warp_native_agg=cfg.warp_native_agg,
                 unet_s2d=cfg.unet_s2d,
                 encoder_s2d=cfg.encoder_s2d,
-                conv_pallas=cfg.conv_pallas,
                 unroll=cfg.unroll_iters,
                 dtype=dt,
                 name=f"update_block{s}"))

@@ -59,8 +59,6 @@ class RefineIteration(nn.Module):
     encoder_s2d: int = 0         # 0 = the UNet factor; 2 = run the
                                  # condition encoder at s2d(2) + one
                                  # fused repr-change at the UNet seam
-    conv_pallas: bool = False    # fused Pallas conv kernel for the
-                                 # encoder/UNet convs (recompute-vjp)
     dtype: Optional[Any] = None
 
     @property
@@ -79,11 +77,11 @@ class RefineIteration(nn.Module):
             hidden_dim=self.context_dim, out_chs=self.context_dim,
             s2d=enc_s, s2d_out=s0 > 1,
             out_factor=s0 if enc_s != s0 else 0,
-            pallas=self.conv_pallas, dtype=self.dtype, name="encoder")
+            dtype=self.dtype, name="encoder")
         self.unet = DiffusionUNet(
             dim=self.unet_dim, hidden_dim=self.hidden_dim,
             dim_mults=self.dim_mults, s2d=self.unet_s2d, s2d_in=s0 > 1,
-            pallas=self.conv_pallas, dtype=self.dtype, name="unet")
+            dtype=self.dtype, name="unet")
 
     def __call__(self, carry, context, t, inv_depth, features, proj_pairs,
                  depth_min, depth_max, view_weights):
@@ -141,7 +139,6 @@ class RefinementStage(nn.Module):
     warp_native_agg: bool = True
     unet_s2d: bool = False
     encoder_s2d: int = 0
-    conv_pallas: bool = False
     unroll: bool = False
     dtype: Optional[Any] = None
 
@@ -182,7 +179,6 @@ class RefinementStage(nn.Module):
             warp_native_agg=self.warp_native_agg,
             unet_s2d=self.unet_s2d,
             encoder_s2d=self.encoder_s2d,
-            conv_pallas=self.conv_pallas,
             dtype=self.dtype, name="cell")
         self.mask = UpsampleMaskHead(
             self.up_ratio, dtype=self.dtype, name="mask")

@@ -36,8 +36,6 @@ class ConvBnS2D(nn.Module):
     strides: int = 1
     s: int = 1
     dtype: Optional[Any] = None
-    # fused conv+BN Pallas kernel (inference; see ConvBnActS2D.pallas)
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -50,15 +48,6 @@ class ConvBnS2D(nn.Module):
         bn = BatchNormS2D(s=so, use_running_average=not train,
                           momentum=0.9, epsilon=1e-5,
                           dtype=self.dtype, name="bn")
-        if self.pallas and not train and (self.s > 1 or self.strides == 1):
-            from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
-
-            wex, _, pad_lo = conv(x, return_prepped=True)
-            mul, add = bn(None, return_affine=True,
-                          channels=self.features * so * so)
-            xd = x.astype(self.dtype) if self.dtype else x
-            return conv2d_fused(xd, wex, mul, add, offset=pad_lo,
-                                relu=False, out_dtype=xd.dtype)
         return bn(conv(x))
 
 
@@ -70,7 +59,6 @@ class ResidualBlockS2D(nn.Module):
     strides: int = 1
     s: int = 1
     dtype: Optional[Any] = None
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,14 +66,11 @@ class ResidualBlockS2D(nn.Module):
 
         so = self.s // self.strides
         y = ConvBnActS2D(self.features, 3, self.strides, s=self.s,
-                         dtype=self.dtype, pallas=self.pallas,
-                         name="conv1")(x, train)
-        y = ConvBnS2D(self.features, 3, 1, s=so, dtype=self.dtype,
-                      pallas=self.pallas, name="conv2")(y, train)
+                         dtype=self.dtype, name="conv1")(x, train)
+        y = ConvBnS2D(self.features, 3, 1, s=so, dtype=self.dtype, name="conv2")(y, train)
         if self.strides != 1:
             x = ConvBnS2D(self.features, 3, self.strides, s=self.s,
-                          dtype=self.dtype, pallas=self.pallas,
-                          name="downsample")(x, train)
+                          dtype=self.dtype, name="downsample")(x, train)
         return nn.relu(x + y)
 
 
@@ -94,27 +79,22 @@ class ContextNet(nn.Module):
     s2d: bool = False
     # (A tail_s2d variant — the 1/4-res tail on the s2d(2) grid —
     # measured a WASH end-to-end at B=8 (docs/bench_r4.json) and was
-    # removed, same conclusion as nn/feature.py.)
-    # inference-only fused conv+BN(+ReLU) Pallas kernel for the s2d
-    # blocks (see nn/feature.py ConvBnActS2D.pallas)
-    conv_pallas: bool = False
+    # removed, same conclusion as nn/feature.py. A fused Pallas
+    # conv+BN kernel was likewise measured slower than XLA on every
+    # production shape and deleted — docs/bench_r5.json conv_war_final.)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         ctx = {}
-        pallas = self.conv_pallas and not train
         if self.s2d:
             xs = to_s2d(x.astype(dt) if dt is not None else x, 4)
             from diffmvs_tpu.nn.feature import ConvBnActS2D
-            xs = ConvBnActS2D(8, 3, 1, s=4, dtype=dt, pallas=pallas,
-                              name="conv1")(xs, train)
+            xs = ConvBnActS2D(8, 3, 1, s=4, dtype=dt, name="conv1")(xs, train)
             xs = ResidualBlockS2D(16, strides=2, s=4, dtype=dt,
-                                  pallas=pallas,
                                   name="layer1_0")(xs, train)  # -> s2d(2)
             xs = ResidualBlockS2D(16, strides=1, s=2, dtype=dt,
-                                  pallas=pallas,
                                   name="layer1_1")(xs, train)
             if self.out_dim[2] > 0:
                 out3 = ConvS2D(self.out_dim[2], (3, 3), s=2,
@@ -122,7 +102,6 @@ class ContextNet(nn.Module):
                                dtype=dt, name="output3")(xs)
                 ctx["stage3"] = from_s2d(out3, 2)
             x = ResidualBlockS2D(32, strides=2, s=2, dtype=dt,
-                                 pallas=pallas,
                                  name="layer2_0")(xs, train)   # -> native
         else:
             x = ConvBnReLU(8, 3, 1, 1, dtype=dt, name="conv1")(x, train)

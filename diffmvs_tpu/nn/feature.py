@@ -58,12 +58,6 @@ class ConvBnActS2D(nn.Module):
     min_span: bool = False
     offset: int = 0
     clip: Tuple[int, int, int, int] = (0, 0, 0, 0)
-    # pallas (inference only): run conv + BN affine + ReLU as ONE fused
-    # Pallas kernel (ops/pallas/conv2d.py) instead of an XLA conv + two
-    # elementwise passes. Same params/"wexp" trees; f32 accumulation
-    # (tighter than the XLA bf16 path). Train mode falls back (the
-    # kernel has no vjp and BN needs batch stats).
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -79,18 +73,7 @@ class ConvBnActS2D(nn.Module):
         bn = BatchNormS2D(s=so, use_running_average=not train,
                           momentum=0.9, epsilon=1e-5,
                           dtype=self.dtype, name="bn")
-        if (self.pallas and not train
-                and (self.s > 1 or self.strides == 1)):
-            from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
-
-            wex, _, pad_lo = conv(x, return_prepped=True)
-            mul, add = bn(None, return_affine=True,
-                          channels=self.features * so * so)
-            xd = x.astype(self.dtype) if self.dtype else x
-            x = conv2d_fused(xd, wex, mul, add, offset=pad_lo, relu=True,
-                             out_dtype=xd.dtype)
-        else:
-            x = nn.relu(bn(conv(x)))
+        x = nn.relu(bn(conv(x)))
         if any(self.clip):
             x = zero_px_border_s2d(x, so, *self.clip)
         return x
@@ -170,12 +153,10 @@ class FeatureNet(nn.Module):
     # f32 reassociation. Works in train mode too (the fold is plain
     # differentiable algebra on the params when no "wexp" is bound).
     fold_head: bool = False
-    # conv_pallas (inference-only): execute every stride-1-on-grid
-    # conv+BN+ReLU through the fused Pallas kernel (ConvBnActS2D.pallas,
-    # ops/pallas/conv2d.py), and the no-BN heads (out2, folded out3)
-    # through its affine-free form. Same params; trace attribution
-    # showed these convs 3-7x off roofline under XLA.
-    conv_pallas: bool = False
+    # (A fused Pallas conv+BN+ReLU kernel for these convs was measured
+    # slower than XLA on every production shape and deleted —
+    # docs/bench_r5.json conv_war_final; probe history in
+    # docs/perf_breakdown.md "the conv war".)
     # (A tail_s2d variant — the 1/4-res tail on the s2d(2) grid —
     # measured a WASH end-to-end (17.90 vs 17.93 maps/s at B=8,
     # docs/bench_r4.json) and was removed: the probe-level cin==128
@@ -185,15 +166,9 @@ class FeatureNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bc, dt = self.base_channels, self.dtype
-        pallas = self.conv_pallas and not train
 
         def cba_nat(name, feats, k=3):
-            """Native stride-1 centered ConvBnAct; fused-kernel form
-            when conv_pallas (same param tree: ConvS2D(s=1) ==
-            nn.Conv, BatchNormS2D(s=1) == nn.BatchNorm)."""
-            if pallas:
-                return ConvBnActS2D(feats, k, 1, s=1, dtype=dt,
-                                    pallas=True, name=name)
+            """Native stride-1 centered ConvBnAct."""
             return ConvBnAct(feats, k, 1, k // 2, dtype=dt, name=name)
 
         def conv2_tail(c2):
@@ -205,7 +180,7 @@ class FeatureNet(nn.Module):
             def cba(name, feats, k, stride, s, offset, clip):
                 return ConvBnActS2D(feats, k, stride, s=s, dtype=dt,
                                     min_span=True, offset=offset,
-                                    clip=clip, pallas=pallas, name=name)
+                                    clip=clip, name=name)
             h2, w2 = x.shape[1] // 2, x.shape[2] // 2
             xp = jnp.pad(x.astype(dt) if dt is not None else x,
                          ((0, 0), (8, 0), (8, 0), (0, 0)))
@@ -218,13 +193,11 @@ class FeatureNet(nn.Module):
             c1 = cba("conv1_2", bc * 2, 3, 1, 2, 0,
                      (0, 0, 0, 0))(c1, train)            # delta = 0
             c1 = c1[:, :h2 // 2, :w2 // 2]               # drop pad leftover
-            c2 = ConvBnActS2D(bc * 4, 5, 2, s=2, dtype=dt, pallas=pallas,
-                              name="conv2_0")(c1, train)
+            c2 = ConvBnActS2D(bc * 4, 5, 2, s=2, dtype=dt, name="conv2_0")(c1, train)
             c2 = conv2_tail(c2)
         elif self.s2d:
             def cba(name, feats, k, stride, s):
-                return ConvBnActS2D(feats, k, stride, s=s, dtype=dt,
-                                    pallas=pallas, name=name)
+                return ConvBnActS2D(feats, k, stride, s=s, dtype=dt, name=name)
             # cast to the compute dtype BEFORE the relayout: halves the
             # one-hot-conv to_s2d's traffic (the first ConvBnAct casts
             # to dt anyway, so only the relayout itself changes dtype)
@@ -268,17 +241,9 @@ class FeatureNet(nn.Module):
 
         intra = upsample_nearest(intra, 2) + conv(
             bc * 8, 1, use_bias=True, dtype=dt, name="inner1")(c2)
-        if pallas:
-            from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
-
-            w2h, _ = _ConvParams(self.out_channels[1], (3, 3), bc * 8,
-                                 use_bias=False, name="out2")()
-            outputs["stage2"] = conv2d_fused(
-                intra, w2h.astype(intra.dtype))
-        else:
-            outputs["stage2"] = conv(self.out_channels[1], 3, padding=1,
-                                     use_bias=False, dtype=dt,
-                                     name="out2")(intra)
+        outputs["stage2"] = conv(self.out_channels[1], 3, padding=1,
+                                 use_bias=False, dtype=dt,
+                                 name="out2")(intra)
 
         if self.out_channels[2] > 0:
             if self.s2d and self.fold_head:
@@ -306,15 +271,10 @@ class FeatureNet(nn.Module):
                 ones_map = jax.lax.conv_general_dilated(
                     ones, k1, (1, 1), ((kk[0], kk[0]), (kk[1], kk[1])),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                if pallas:
-                    from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
-
-                    out3 = conv2d_fused(z.astype(kfold.dtype), kmain)
-                else:
-                    out3 = jax.lax.conv_general_dilated(
-                        z.astype(kfold.dtype), kmain, (1, 1),
-                        ((kk[0], kk[0]), (kk[1], kk[1])),
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                out3 = jax.lax.conv_general_dilated(
+                    z.astype(kfold.dtype), kmain, (1, 1),
+                    ((kk[0], kk[0]), (kk[1], kk[1])),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 outputs["stage3"] = from_s2d(out3 + ones_map, 2)
             elif self.s2d:
                 # intra is native 1/4 res; c1 is the s2d(2) repr of 1/2

@@ -250,7 +250,7 @@ def prep_conv_s2d_min(w, bias, s: int, stride: int = 1, offset: int = 0,
 
 
 def run_conv_s2d_min(x, wex, bex, k: int, s: int, stride: int = 1,
-                     offset: int = 0, dtype=None, pallas: bool = False):
+                     offset: int = 0, dtype=None):
     """Execute a minimal-span s2d conv (kernel from prep_conv_s2d_min).
 
     Semantics: the ORIGINAL conv with window alignment `offset`
@@ -260,12 +260,6 @@ def run_conv_s2d_min(x, wex, bex, k: int, s: int, stride: int = 1,
     it with pre-padding/crops (see nn/feature.py phase_opt)."""
     dtype = dtype or x.dtype
     ph = _min_pads(k, s, stride, offset)
-    if pallas:
-        from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
-
-        scale = None if bex is None else jnp.ones_like(bex)
-        return conv2d_fused(x.astype(dtype), wex, scale, bex,
-                            offset=(ph[0], ph[0]), out_dtype=dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), wex.astype(dtype), (1, 1), (ph, ph),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -350,27 +344,9 @@ def prep_conv_s2d(w, bias, s: int, stride: int = 1,
 
 def run_conv_s2d(x, wex, bex, s: int, stride: int = 1,
                  offset: Optional[int] = None, dtype=None,
-                 preferred_f32: bool = False, kernel_size=None,
-                 pallas: bool = False):
-    """Execute conv_s2d given an already-prepared (wex, bex) pair.
-
-    pallas=True routes stride-1-on-grid convs through the fused Pallas
-    kernel (ops/pallas/conv2d.py — bias folded into its epilogue, f32
-    accumulate, recompute-vjp); grid-strided s==1 convs fall back."""
+                 preferred_f32: bool = False, kernel_size=None):
+    """Execute conv_s2d given an already-prepared (wex, bex) pair."""
     dtype = dtype or x.dtype
-    if pallas and (s > 1 or stride == 1):
-        from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
-
-        kh, kw = wex.shape[0], wex.shape[1]
-        if s == 1:
-            off = kh // 2 if offset is None else offset
-            pads = (off, off)
-        else:
-            pads = (kh // 2, kw // 2)
-        scale = None if bex is None else jnp.ones_like(bex)
-        out_dt = jnp.float32 if preferred_f32 else dtype
-        return conv2d_fused(x.astype(dtype), wex, scale, bex,
-                            offset=pads, out_dtype=out_dt)
     if s == 1:
         kh, kw = wex.shape[0], wex.shape[1]
         off = kh // 2 if offset is None else offset
@@ -514,18 +490,14 @@ class ConvS2D(nn.Module):
     # shift bookkeeping (nn/feature.py phase_opt).
     min_span: bool = False
     offset: int = 0
-    # route through the fused Pallas conv kernel (bias in its epilogue;
-    # recompute-vjp so it stays differentiable) — see run_conv_s2d
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, return_prepped: bool = False):
         """return_prepped: declare params and return the prepared
         (wex, bex, (pad_lo_h, pad_lo_w)) WITHOUT running the conv —
-        the hook callers use to execute the same math fused elsewhere
-        (ops/pallas/conv2d.py). Identical param + "wexp" trees either
-        way; pad_lo is the padding the XLA path would use (== the
-        fused kernel's window offset)."""
+        the hook callers use to execute the same math folded elsewhere
+        (e.g. nn/feature.py fold_head). Identical param + "wexp" trees
+        either way; pad_lo is the padding the XLA path would use."""
         kh, kw = self.kernel_size
         cin = int(x.shape[-1]) // (self.s * self.s)
         kernel = self.param("kernel", self.kernel_init,
@@ -541,14 +513,13 @@ class ConvS2D(nn.Module):
                 lo = _min_pads(kh, self.s, self.stride, self.offset)[0]
                 return wex, bex, (lo, lo)
             return run_conv_s2d_min(x, wex, bex, kh, self.s, self.stride,
-                                    self.offset, dtype=dtype,
-                                    pallas=self.pallas)
+                                    self.offset, dtype=dtype)
         wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
             kernel, bias, self.s, self.stride, dtype=dtype))
         if return_prepped:
             return wex, bex, (wex.shape[0] // 2, wex.shape[1] // 2)
-        return run_conv_s2d(x, wex, bex, self.s, self.stride, dtype=dtype,
-                            pallas=self.pallas)
+        return run_conv_s2d(x, wex, bex, self.s, self.stride,
+                            dtype=dtype)
 
 
 def prepare_wexp(apply_fn, variables, *args, **kwargs):
@@ -643,7 +614,6 @@ class BatchNormS2D(nn.Module):
 
         return_affine: declare params and return the prepared inference
         (mul, add) pair WITHOUT applying it (running-average mode only)
-        — the hook fused conv+BN+ReLU callers use (ops/pallas/conv2d).
         `channels` supplies C*s*s when x is None."""
         cs = channels if x is None else x.shape[-1]
         ss = self.s * self.s

@@ -78,7 +78,6 @@ class WSConv(nn.Module):
     kernel_size: int = 3
     s: int = 1
     dtype: Optional[Dtype] = None
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -98,8 +97,7 @@ class WSConv(nn.Module):
 
         wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
             standardize(), bias, self.s, dtype=dtype))
-        return run_conv_s2d(x, wex, bex, self.s, dtype=dtype,
-                            pallas=self.pallas)
+        return run_conv_s2d(x, wex, bex, self.s, dtype=dtype)
 
 
 class Conv7x7RowSum(nn.Module):
@@ -119,7 +117,6 @@ class Conv7x7RowSum(nn.Module):
     features: int
     s: int = 1
     dtype: Optional[Dtype] = None
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -137,8 +134,7 @@ class Conv7x7RowSum(nn.Module):
             # internally), so the row-sum path's f32 partials are moot.
             wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
                 kernel, bias, self.s, dtype=dtype))
-            return run_conv_s2d(x, wex, bex, self.s, dtype=dtype,
-                                pallas=self.pallas)
+            return run_conv_s2d(x, wex, bex, self.s, dtype=dtype)
         h = x.shape[1]
         # round operands to the compute dtype, then run the conv in f32:
         # every bf16 product is exact in f32, so this is bit-identical to
@@ -166,12 +162,10 @@ class Block(nn.Module):
     groups: int = 8
     s: int = 1
     dtype: Optional[Dtype] = None
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = WSConv(self.features, 3, s=self.s, dtype=self.dtype,
-                   pallas=self.pallas, name="proj")(x)
+        x = WSConv(self.features, 3, s=self.s, dtype=self.dtype, name="proj")(x)
         if self.s > 1:
             # norm-apply + FiLM + SiLU fused into one elementwise pass
             # (the FiLM affine folds into the norm affine — GroupNormS2D)
@@ -195,7 +189,6 @@ class ResnetBlock(nn.Module):
     time_conditioned: bool = True
     s: int = 1
     dtype: Optional[Dtype] = None
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -206,10 +199,8 @@ class ResnetBlock(nn.Module):
             t = t[:, None, None, :]
             scale_shift = jnp.split(t, 2, axis=-1)
 
-        h = Block(self.features, self.groups, s=self.s, dtype=self.dtype,
-                  pallas=self.pallas, name="block1")(x, scale_shift)
-        h = Block(self.features, self.groups, s=self.s, dtype=self.dtype,
-                  pallas=self.pallas, name="block2")(h)
+        h = Block(self.features, self.groups, s=self.s, dtype=self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.features, self.groups, s=self.s, dtype=self.dtype, name="block2")(h)
 
         cin = int(x.shape[-1]) // (self.s * self.s)
         if cin != self.features:
@@ -217,7 +208,6 @@ class ResnetBlock(nn.Module):
                 x = ConvS2D(self.features, (1, 1), s=self.s,
                             kernel_init=torch_kernel_init,
                             bias_init=torch_bias_init(cin),
-                            pallas=self.pallas,
                             dtype=self.dtype, name="res_conv")(x)
             else:
                 x = nn.Conv(self.features, (1, 1),
@@ -239,7 +229,6 @@ class Downsample(nn.Module):
     features: int
     s: int = 1
     dtype: Optional[Dtype] = None
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -253,8 +242,7 @@ class Downsample(nn.Module):
                            kernel_init=torch_kernel_init,
                            bias_init=torch_bias_init(c * 4),
                            dtype=self.dtype, name="conv")(x)
-        return _DownsampleS2D(self.features, self.s, dtype=self.dtype,
-                              pallas=self.pallas, name="conv")(x)
+        return _DownsampleS2D(self.features, self.s, dtype=self.dtype, name="conv")(x)
 
 
 class _DownsampleS2D(nn.Module):
@@ -264,7 +252,6 @@ class _DownsampleS2D(nn.Module):
     features: int
     s: int
     dtype: Optional[Dtype] = None
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -283,7 +270,7 @@ class _DownsampleS2D(nn.Module):
         wex, bex = prepared(self, "wex", lambda: prep_conv_s2d(
             k2(), bias, self.s, stride=2, offset=0, dtype=dtype))
         return run_conv_s2d(x, wex, bex, self.s, stride=2, offset=0,
-                            dtype=dtype, pallas=self.pallas)
+                            dtype=dtype)
 
 
 class Upsample(nn.Module):
@@ -298,7 +285,6 @@ class Upsample(nn.Module):
     s: int = 1                    # input repr factor
     s2d_mode: bool = False
     dtype: Optional[Dtype] = None
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -308,7 +294,6 @@ class Upsample(nn.Module):
             return ConvS2D(self.features, (3, 3), s=2 * self.s,
                            kernel_init=torch_kernel_init,
                            bias_init=torch_bias_init(cin * 9),
-                           pallas=self.pallas,
                            dtype=self.dtype, name="conv")(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
@@ -334,9 +319,6 @@ class DiffusionUNet(nn.Module):
     resnet_block_groups: int = 4
     s2d: bool = False
     s2d_in: bool = False          # x arrives already in s2d(s0) layout
-    # fused Pallas conv kernel for the stride-1-on-grid convs
-    # (ops/pallas/conv2d.py; recompute-vjp keeps training correct)
-    pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -364,26 +346,22 @@ class DiffusionUNet(nn.Module):
 
         if not (self.s2d_in and s0 > 1):
             x = to_s2d(x, s0)
-        x = Conv7x7RowSum(self.dim, s=s0, dtype=dt, pallas=self.pallas,
-                          name="init_conv")(x)
+        x = Conv7x7RowSum(self.dim, s=s0, dtype=dt, name="init_conv")(x)
         r = x
 
         skips = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
             s = s_at(ind)
-            x = ResnetBlock(dim_in, g, s=s, dtype=dt, pallas=self.pallas,
-                            name=f"down_{ind}_block")(x, t)
+            x = ResnetBlock(dim_in, g, s=s, dtype=dt, name=f"down_{ind}_block")(x, t)
             skips.append(x)
             if not is_last:
                 x = Downsample(dim_out, s=s, dtype=dt,
-                               pallas=self.pallas,
                                name=f"down_{ind}_ds")(x)
             elif s > 1:
                 x = ConvS2D(dim_out, (3, 3), s=s,
                             kernel_init=torch_kernel_init,
                             bias_init=torch_bias_init(dim_in * 9),
-                            pallas=self.pallas,
                             dtype=dt, name=f"down_{ind}_conv")(x)
             else:
                 x = nn.Conv(dim_out, (3, 3), padding=((1, 1), (1, 1)),
@@ -397,24 +375,20 @@ class DiffusionUNet(nn.Module):
         hidden = SepConvGRU(self.hidden_dim, dtype=dt, name="gru")(hidden, x)
         # mid block is NOT time-conditioned (update.py:230 passes no
         # time_emb_dim, so its forward ignores t)
-        x = ResnetBlock(dims[-1], g, time_conditioned=False, dtype=dt,
-                        pallas=self.pallas, name="mid")(hidden)
+        x = ResnetBlock(dims[-1], g, time_conditioned=False, dtype=dt, name="mid")(hidden)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             lvl = nlvl - 1 - ind
             s = s_at(lvl)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, g, s=s, dtype=dt, pallas=self.pallas,
-                            name=f"up_{ind}_block")(x, t)
+            x = ResnetBlock(dim_out, g, s=s, dtype=dt, name=f"up_{ind}_block")(x, t)
             if not is_last:
-                x = Upsample(dim_in, s=s, s2d_mode=s0 > 1, dtype=dt,
-                             pallas=self.pallas, name=f"up_{ind}_us")(x)
+                x = Upsample(dim_in, s=s, s2d_mode=s0 > 1, dtype=dt, name=f"up_{ind}_us")(x)
             elif s > 1:
                 x = ConvS2D(dim_in, (3, 3), s=s,
                             kernel_init=torch_kernel_init,
                             bias_init=torch_bias_init(dim_out * 9),
-                            pallas=self.pallas,
                             dtype=dt, name=f"up_{ind}_conv")(x)
             else:
                 x = nn.Conv(dim_in, (3, 3), padding=((1, 1), (1, 1)),
@@ -423,8 +397,7 @@ class DiffusionUNet(nn.Module):
                             dtype=dt, name=f"up_{ind}_conv")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, g, s=s0, dtype=dt, pallas=self.pallas,
-                        name="final_res_block")(x, t)
+        x = ResnetBlock(self.dim, g, s=s0, dtype=dt, name="final_res_block")(x, t)
 
         if s0 > 1:
             delta = ConvS2D(1, (1, 1), s=s0,
@@ -465,7 +438,6 @@ class ConditionEncoder(nn.Module):
     out_factor: int = 0           # s2d factor of the emitted repr
                                   # (0 = same as s2d; else one fused
                                   # s2d_change at the output)
-    pallas: bool = False          # fused conv+bias+ReLU Pallas kernel
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -475,21 +447,13 @@ class ConditionEncoder(nn.Module):
         s = self.s2d
 
         def c3(name, feats, x):
-            """relu(conv3x3(x)) — one fused kernel call when pallas."""
+            """relu(conv3x3(x))."""
             cin = int(x.shape[-1]) // (s * s)
             if s > 1:
                 conv = ConvS2D(feats, (3, 3), s=s,
                                kernel_init=torch_kernel_init,
                                bias_init=torch_bias_init(cin * 9),
                                dtype=self.dtype, name=name)
-                if self.pallas:
-                    from diffmvs_tpu.ops.pallas.conv2d import conv2d_fused
-
-                    wex, bex, pad_lo = conv(x, return_prepped=True)
-                    return conv2d_fused(
-                        x.astype(wex.dtype), wex, jnp.ones_like(bex),
-                        bex, offset=pad_lo, relu=True,
-                        out_dtype=self.dtype or x.dtype)
                 return nn.relu(conv(x))
             return nn.relu(nn.Conv(
                 feats, (3, 3), padding=((1, 1), (1, 1)),

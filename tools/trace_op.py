@@ -184,7 +184,7 @@ def trace_component(which, overrides: str = ""):
                           s2d=cfg.feature_s2d,
                           phase_opt=cfg.feature_phase_opt,
                           fold_head=cfg.feature_fold_head,
-                          conv_pallas=cfg.conv_pallas, dtype=dt)
+                          dtype=dt)
         flat = jnp.asarray(imgs.reshape(B * V, H, W, 3))
         fvars = fnet.init(key, flat[:1], False)
         from diffmvs_tpu.nn.s2d import prepare_wexp
