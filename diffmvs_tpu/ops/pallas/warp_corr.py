@@ -210,12 +210,14 @@ def _corr_kernel(base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
 def _corr_kernel_rowbatch(
         base_ref,      # scalar prefetch [NW, T, N*HB] (by<<16|bx)
         rstart_ref,    # scalar prefetch [T, N*HB, D*ROWS]
-        xf_ref, yf_ref,  # [1, D, ROWS, TILE] float sample coords
+        rt_ref,        # scalar prefetch [N, 12] f32 (rot rows + trans)
+        dv_ref,        # [1, D, ROWS, TILE] f32 metric depth hypotheses
         ref_ref,       # [1, ROWS, C, TILE]
         src_hbm,       # ANY [N, (Hs+2)*C, ws_pad]
         out_ref,       # [1, D, ROWS, G, TILE]
         win_ref, sem,
         *, wg: int, win_k: int, groups: int, band: int, hs: int, ws: int,
+        h_out: int, w_out: int,
         dchunk: int = 1, win_w: int = WIN_W, packed: bool = False):
     """v2.2/v2.3: one fused tensor op chain per CHUNK of dchunk depth
     planes x all output rows, instead of per (depth, row). The v2 kernel
@@ -232,11 +234,14 @@ def _corr_kernel_rowbatch(
     base when win_w > GATHER_W, and Mosaic cannot DMA a window whose
     lane base is unaligned — warp_corr_pallas rejects win_w != WIN_W
     on hardware.
-    Coordinates arrive as TWO float arrays (the raw sample positions);
-    integer corners, fractions and validity are derived in-kernel (a few
-    cheap vector ops) instead of shipping five precomputed arrays — 3
-    fewer operand preps/DMAs per call (the s32 coordinate relayout
-    copies were ~11 ms/fwd in the full-forward trace)."""
+    Coordinates are computed IN-KERNEL from the depth block + the
+    per-sample (rot, trans) scalars (same fma expression order as
+    _tile_geometry's fusion inputs), then corners/fractions/validity
+    derive as before — the only per-pixel operand is the depth tile,
+    which is shared across all source views of a cost volume (the
+    round-5 step after the tile-geometry fusion: the two f32 coord
+    arrays were ~16.6 MB of per-launch DMA and ~1 GiB of HBM temps at
+    B=16)."""
     n = pl.program_id(0)
     hb = pl.program_id(1)
     t = pl.program_id(2)
@@ -296,13 +301,30 @@ def _corr_kernel_rowbatch(
 
         nblk = dks * rows
         dr = [(d0 + i, r) for i in range(dks) for r in range(rows)]
-        # [NBLK, tile] float coords -> corners/fractions/validity
-        # (matches _corner_split exactly). H/W-padded pixels carry 0.0
-        # coords and can pass valid/in_band, producing garbage values in
-        # padded rows/cols — harmless: the caller's final [:h, :w] slice
-        # discards them.
-        xf = xf_ref[0, d0:d0 + dks].reshape(nblk, tile)
-        yf = yf_ref[0, d0:d0 + dks].reshape(nblk, tile)
+        # in-register plane-sweep coords from the depth block + the
+        # sample's projection scalars (mirrors _tile_geometry /
+        # plane_sweep_coords' fma order); padded pixels are marked
+        # explicitly invalid (-10), then corners/fractions/validity
+        # derive exactly as _corner_split
+        dv = dv_ref[0, d0:d0 + dks].reshape(nblk, tile)
+        rr = jax.lax.broadcasted_iota(
+            jnp.int32, (dks, rows, tile), 1).reshape(nblk, tile)
+        ll = jax.lax.broadcasted_iota(
+            jnp.int32, (dks, rows, tile), 2).reshape(nblk, tile)
+        yi_px = hb * rows + rr
+        xi_px = t * tile + ll
+        xg = xi_px.astype(jnp.float32)
+        yg = yi_px.astype(jnp.float32)
+        px = ((rt_ref[n, 0] * xg + rt_ref[n, 1] * yg + rt_ref[n, 2])
+              * dv + rt_ref[n, 9])
+        py = ((rt_ref[n, 3] * xg + rt_ref[n, 4] * yg + rt_ref[n, 5])
+              * dv + rt_ref[n, 10])
+        pz = ((rt_ref[n, 6] * xg + rt_ref[n, 7] * yg + rt_ref[n, 8])
+              * dv + rt_ref[n, 11])
+        pz = jnp.where(pz == 0.0, 1e-8, pz)
+        inb = (xi_px < w_out) & (yi_px < h_out)
+        xf = jnp.where(inb, px / pz, -10.0)
+        yf = jnp.where(inb, py / pz, -10.0)
         x0 = jnp.floor(xf)
         y0 = jnp.floor(yf)
         fx = xf - x0
@@ -389,7 +411,7 @@ def _corr_kernel_rowbatch(
             s0 = jnp.sum(o0 * wkv, axis=1)
             s1 = jnp.sum(o1 * wkv, axis=1)
             outv_o = (s0 + (s1 - s0) * fxv) * vmul
-            refv = ref_ref[0]                          # evens||odds
+            refv = ref_ref[0].astype(jnp.float32)      # evens||odds
             if dks > 1:
                 refv = jnp.concatenate([refv] * dks)
             pe = (outv_e * refv[:, :cp]).reshape(
@@ -434,7 +456,7 @@ def _corr_kernel_rowbatch(
             outv = left + (right - left) * fx[:, None, :].astype(s.dtype)
             outv = outv * valid[:, None, :].astype(s.dtype)
 
-        refv = ref_ref[0]                              # [ROWS, C, tile]
+        refv = ref_ref[0].astype(jnp.float32)          # [ROWS, C, tile]
         if dks > 1:
             refv = jnp.concatenate([refv] * dks)       # [NBLK, C, tile]
         prod = outv * refv
@@ -530,10 +552,17 @@ def _tile_geometry(rot, trans, depth_values, hs, ws, wg, win_k,
     epilogue's [:h, :w] slice).
 
     rot: [N, 3, 3], trans: [N, 3]; depth_values: [N, D, H, W].
-    Returns (x_t, y_t [N*HB*T, D, rows, tile] f32 kernel operands,
+    Returns (dv_t [N*HB*T, D, rows, tile] f32 depth-tile kernel operand,
              packed bases [NW, T, N*HB] int32,
              rstarts [T, N*HB, D*rows] int32 (rowbatch layout),
              dims (hb, t_tiles, w_pad, h_pad, ws_pad, nw)).
+
+    The per-pixel float coords are NOT returned: the rowbatch kernel
+    recomputes them in-register from dv_t + the per-sample (rot, trans)
+    scalars (the same fma expression order — a handful of VPU ops per
+    element), so the two [N*HB*T, D, rows, tile] f32 coordinate arrays
+    never materialize in HBM and never ride a per-launch DMA. Here they
+    exist only as fusion inputs to the window/band min-reductions.
     """
     n, d, h, w = depth_values.shape
     t_tiles = -(-w // tile)
@@ -610,10 +639,9 @@ def _tile_geometry(rot, trans, depth_values, hs, ws, wg, win_k,
     rstarts = (rstart.transpose(2, 0, 1, 3, 4)
                .reshape(t_tiles, n * hb, d * rows))
 
-    x_t = x.reshape(n * hb * t_tiles, d, rows, tile)
-    y_t = y.reshape(n * hb * t_tiles, d, rows, tile)
+    dv_flat = dv_t.reshape(n * hb * t_tiles, d, rows, tile)
     dims = (hb, t_tiles, w_pad, h_pad, ws_pad, nw)
-    return x_t, y_t, bases, rstarts, dims
+    return dv_flat, bases, rstarts, dims
 
 
 def _corner_split(x, y, hs, ws):
@@ -807,7 +835,7 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     if use_rowbatch:
         # coords + window geometry fused in tile layout (no full-res
         # transposes / padded int tensors — see _tile_geometry)
-        x_t, y_t, bases, rstarts, dims = _tile_geometry(
+        dv_t, bases, rstarts, dims = _tile_geometry(
             rot, trans, depth_values, hs, ws, wg, win_k, rows, band,
             win_w, tile)
     else:
@@ -837,8 +865,13 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
     src_t = _pad_to(src_t, ws_pad, axis=2)
 
     # reference tiles [N*HB*T, rows, C, TILE] matching the output layout;
-    # packed mode orders channels evens||odds to align with pair rows
-    ref_hw = ref_fea.astype(jnp.float32)
+    # packed mode orders channels evens||odds to align with pair rows.
+    # bf16 sources stay bf16 through the DMA (the f32 upcast happens
+    # in-kernel — exact, and it halves the fattest per-launch operand:
+    # ~33 MB f32 -> 16.5 MB at stage-3 B=16); f32 sources keep f32 so
+    # non-bf16 configs lose no precision.
+    ref_hw = (ref_fea if ref_fea.dtype == jnp.bfloat16
+              else ref_fea.astype(jnp.float32))
     if packed:
         ref_hw = jnp.concatenate([ref_hw[..., 0::2], ref_hw[..., 1::2]],
                                  axis=-1)
@@ -884,19 +917,26 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                      if wg % x == 0 and x <= dk_cap)
         kernel = functools.partial(_corr_kernel_rowbatch, wg=wg,
                                    win_k=win_k, groups=groups, band=band,
-                                   hs=hs, ws=ws, dchunk=dchunk,
+                                   hs=hs, ws=ws, h_out=h, w_out=w,
+                                   dchunk=dchunk,
                                    win_w=win_w, packed=packed)
         # rstarts already in the rowbatch [T, N*HB, D*rows] layout
         # (large dim minor; see kernel docstring re SMEM padding).
-        # raw float coords only; corners/fractions/validity derive
-        # in-kernel (3 fewer operand arrays to lay out and DMA)
-        operands = (x_t, y_t)
-        in_specs = [spec, spec, ref_spec,
+        # Per-pixel operand = the depth tile only; coords (and then
+        # corners/fractions/validity) derive in-kernel from the
+        # per-sample projection scalars
+        rt = jnp.concatenate(
+            [rot.reshape(n, 9), trans.reshape(n, 3)],
+            axis=1).astype(jnp.float32)              # [N, 12]
+        scalars = (bases, rstarts, rt)
+        operands = (dv_t,)
+        in_specs = [spec, ref_spec,
                     pl.BlockSpec(memory_space=pl.ANY)]
     else:
         kernel = functools.partial(_corr_kernel, wg=wg, win_k=win_k,
                                    groups=groups, band=band,
                                    packed=packed, skip=skip)
+        scalars = (bases, rstarts)
         operands = (tile_view(xi, jnp.int32),
                     tile_view(yi, jnp.int32),
                     tile_view(fx, jnp.float32),
@@ -905,9 +945,9 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
         in_specs = [spec, spec, spec, spec, spec, ref_spec,
                     pl.BlockSpec(memory_space=pl.ANY)]
 
-    def launch(n_launch, bases_l, rstarts_l, operands_l, ref_l, src_l):
+    def launch(n_launch, scalars_l, operands_l, ref_l, src_l):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=len(scalars_l),
             grid=(n_launch, hb, t_tiles),
             in_specs=in_specs,
             out_specs=out_spec,
@@ -920,14 +960,14 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
                 (n_launch * hb * t_tiles, d, rows, groups, tile),
                 jnp.float32),
             interpret=interpret,
-        )(bases_l, rstarts_l, *operands_l, ref_l, src_l)
+        )(*scalars_l, *operands_l, ref_l, src_l)
 
     if n == 1:
         # (An N-wide-grid single-launch variant was measured NEUTRAL
         # end-to-end at B=8 — docs/bench_r5.json warp_grid_launch row —
         # and removed; per-sample launches pipeline better in isolation,
         # stage-3 6.0 vs 9.2 ms, docs/perf_breakdown.md.)
-        out = launch(n, bases, rstarts, operands, ref_t, src_t)
+        out = launch(n, scalars, operands, ref_t, src_t)
     else:
         # batched call: ONE shared operand prep / window geometry /
         # epilogue for all N samples, but one pallas_call per sample —
@@ -942,8 +982,10 @@ def _warp_corr_impl(src_fea, ref_fea, src_pair, ref_pair, depth_values,
             bases_j = bases[:, :, row]
             rstarts_j = (rstarts[:, row, :] if use_rowbatch
                          else rstarts[:, :, :, row])
+            scalars_j = ((bases_j, rstarts_j, rt[j:j + 1])
+                         if use_rowbatch else (bases_j, rstarts_j))
             operands_j = tuple(o[blk] for o in operands)
-            outs.append(launch(1, bases_j, rstarts_j, operands_j,
+            outs.append(launch(1, scalars_j, operands_j,
                                ref_t[blk], src_t[j:j + 1]))
         out = jnp.concatenate(outs)
 

@@ -275,11 +275,14 @@ def test_local_cost_volume_native_agg_matches(rng):
 
 
 def test_tile_geometry_matches_legacy(rng):
-    """_tile_geometry (fused tile-layout coords + window geometry, the
-    rowbatch operand path) == the legacy plane_sweep_coords +
-    _corner_split + _window_geometry pipeline: bases/rstarts exactly,
-    coords to fp tolerance (fma vs matmul rounding), at refinement and
-    grouped-sweep shapes."""
+    """_tile_geometry (fused tile-layout window geometry, the rowbatch
+    operand path) == the legacy plane_sweep_coords + _corner_split +
+    _window_geometry pipeline: bases/rstarts exactly, and the depth
+    tile view is an exact relayout of depth_values, at refinement and
+    grouped-sweep shapes. (The per-pixel coords are no longer
+    materialized — the kernel recomputes them in-register from the
+    depth tile + projection scalars; their parity is covered by the
+    kernel-vs-XLA tests above.)"""
     from diffmvs_tpu.geometry.transforms import relative_projection
     from diffmvs_tpu.geometry.warp import plane_sweep_coords
     from diffmvs_tpu.ops.pallas.warp_corr import (
@@ -307,7 +310,7 @@ def test_tile_geometry_matches_legacy(rng):
         rstarts0 = np.asarray(rstarts0).transpose(2, 3, 0, 1).reshape(
             t_tiles, -1, dd * rows)
 
-        x_t, y_t, bases1, rstarts1, dims1 = _tile_geometry(
+        dv_t, bases1, rstarts1, dims1 = _tile_geometry(
             rot, trans, depths, hs, ws, wg, win_k, rows, band, win_w,
             tile)
         assert dims1 == dims0
@@ -315,27 +318,12 @@ def test_tile_geometry_matches_legacy(rng):
                                       np.asarray(bases0))
         np.testing.assert_array_equal(np.asarray(rstarts1), rstarts0)
 
-        # coords match where in-image (padded pixels differ by design:
-        # legacy pads 0.0, fused marks them invalid with -10.0)
+        # the depth tile view is an exact (padded) relayout
         hb = dims0[0]
         h_pad, w_pad = hb * rows, t_tiles * tile
-        xp = np.zeros((n, dd, h_pad, w_pad), np.float32)
-        yp = np.zeros_like(xp)
-        xp[:, :, :h, :w] = np.asarray(x)
-        yp[:, :, :h, :w] = np.asarray(y)
-
-        def to_tile(a):
-            return (a.reshape(n, dd, hb, rows, t_tiles, tile)
-                    .transpose(0, 2, 4, 1, 3, 5)
-                    .reshape(n * hb * t_tiles, dd, rows, tile))
-
-        inb = np.zeros((h_pad, w_pad), bool)
-        inb[:h, :w] = True
-        inb_t = to_tile(np.broadcast_to(inb, (n, dd) + inb.shape)
-                        .astype(np.float32)) > 0
-        np.testing.assert_allclose(np.asarray(x_t)[inb_t],
-                                   to_tile(xp)[inb_t],
-                                   rtol=1e-5, atol=2e-4)
-        np.testing.assert_allclose(np.asarray(y_t)[inb_t],
-                                   to_tile(yp)[inb_t],
-                                   rtol=1e-5, atol=2e-4)
+        dp = np.zeros((n, dd, h_pad, w_pad), np.float32)
+        dp[:, :, :h, :w] = np.asarray(depths)
+        want_dv = (dp.reshape(n, dd, hb, rows, t_tiles, tile)
+                   .transpose(0, 2, 4, 1, 3, 5)
+                   .reshape(n * hb * t_tiles, dd, rows, tile))
+        np.testing.assert_array_equal(np.asarray(dv_t), want_dv)
