@@ -107,9 +107,14 @@ def main(selected):
             return acc
 
         args = jax.tree_util.tree_map(jnp.asarray, list(args))
-        float(chained(args))                       # compile+warmup
-        t0 = time.perf_counter()
-        float(chained(args))
+        try:
+            float(chained(args))                   # compile+warmup
+            t0 = time.perf_counter()
+            float(chained(args))
+        except Exception as e:                     # e.g. HBM OOM at B=16
+            results[name] = None
+            print(f"{name:28s}    FAILED: {str(e)[:90]}")
+            return
         ms = (time.perf_counter() - t0 - floor) / reps * 1000
         results[name] = ms
         print(f"{name:28s} {ms:9.2f} ms")
