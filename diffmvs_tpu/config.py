@@ -325,7 +325,11 @@ def tpu_optimized(cfg: ModelConfig, backend: str = None) -> ModelConfig:
                                unet_s2d=True, feature_s2d=True,
                                feature_phase_opt=True, context_s2d=True,
                                feature_fold_head=True,
-                               stage1_s2d=True, unroll_iters=True)
+                               stage1_s2d=True, unroll_iters=True,
+                               # measured positive at B=4 (15.38 vs
+                               # 15.27) AND B=16 (20.95 vs 20.87) —
+                               # docs/bench_r4.json + bench_r5.json
+                               encoder_s2d=2)
 
 
 MODEL_PRESETS = {
