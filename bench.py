@@ -136,7 +136,11 @@ def bench_train(bwd: str = "", overrides: str = ""):
         model_cfg = dataclasses.replace(model_cfg, warp_bwd=bwd)
     if overrides:
         import ast as _ast
-        kv = dict(p.split("=", 1) for p in overrides.split(","))
+        # split on commas OUTSIDE parens so tuple values work, e.g.
+        # --set "warp_glue=(True, True, True)"
+        import re as _re
+        parts = _re.split(r",(?![^(]*\))", overrides)
+        kv = dict(p.split("=", 1) for p in parts)
         model_cfg = dataclasses.replace(
             model_cfg, **{k: _ast.literal_eval(v) for k, v in kv.items()})
     cfg = TrainConfig(model=model_cfg, batch_size=b)
@@ -320,7 +324,11 @@ def main(batch: int = 0, overrides: str = ""):
         compute_dtype="bfloat16"))
     if overrides:
         import ast as _ast
-        kv = dict(p.split("=", 1) for p in overrides.split(","))
+        # split on commas OUTSIDE parens so tuple values work, e.g.
+        # --set "warp_glue=(True, True, True)"
+        import re as _re
+        parts = _re.split(r",(?![^(]*\))", overrides)
+        kv = dict(p.split("=", 1) for p in parts)
         cfg = dataclasses.replace(
             cfg, **{k: _ast.literal_eval(v) for k, v in kv.items()})
     model = CasDiffMVS(cfg)
